@@ -1,0 +1,66 @@
+"""HNSW parameters and presets (reference: src/hnsw/mod.rs:16-93)."""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, replace
+
+
+@dataclass(frozen=True)
+class HnswParams:
+    """HNSW index parameters. Defaults match the reference
+    (src/hnsw/mod.rs:35-47): M=32, max_M0=64, ef_c=400, ef_s=200.
+
+    ``level_factor`` is 1/ln(M) (exponential level decay).
+    ``simple_prune`` selects closest-M pruning over the RNG diversity
+    heuristic — the reference's default too (src/hnsw/mod.rs:29-32).
+    ``max_iters`` bounds the level-0 beam loop (TPU-specific: beam search
+    must have a static trip count under jit; expansions beyond the bound
+    are cut off; raised automatically with ef).
+    """
+
+    m: int = 32
+    max_m0: int = 64
+    ef_construction: int = 400
+    ef_search: int = 200
+    max_level: int = 16
+    simple_prune: bool = True
+    rng_seed: int = 0x5EED
+
+    @property
+    def level_factor(self) -> float:
+        return 1.0 / math.log(self.m)
+
+    # -- presets (src/hnsw/mod.rs:49-93) -----------------------------------
+
+    @classmethod
+    def high_recall(cls) -> "HnswParams":
+        return cls(m=32, max_m0=64, ef_construction=400, ef_search=200)
+
+    @classmethod
+    def hot_tier(cls) -> "HnswParams":
+        return cls(m=32, max_m0=64, ef_construction=200, ef_search=100)
+
+    @classmethod
+    def warm_tier(cls) -> "HnswParams":
+        return cls(m=64, max_m0=128, ef_construction=600, ef_search=400)
+
+    @classmethod
+    def cold_tier(cls) -> "HnswParams":
+        return cls(m=96, max_m0=192, ef_construction=1000, ef_search=800)
+
+    def with_(self, **kw) -> "HnswParams":
+        return replace(self, **kw)
+
+    def validate(self) -> None:
+        """Bounds match vec_rebuild_hnsw validation (src/sql_functions.rs:456-465)."""
+        from tpuvec.types import InvalidParameter
+
+        if not (2 <= self.m <= 256):
+            raise InvalidParameter(f"M must be in [2, 256], got {self.m}")
+        if not (10 <= self.ef_construction <= 4096):
+            raise InvalidParameter(
+                f"ef_construction must be in [10, 4096], got {self.ef_construction}"
+            )
+        if self.max_m0 < self.m:
+            raise InvalidParameter("max_m0 must be >= M")
