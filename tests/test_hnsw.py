@@ -1,0 +1,258 @@
+"""HNSW build + search tests vs the brute-force oracle.
+
+Mirrors the reference's recall suite (tests/test_recall_accuracy.rs:
+recall@10 >= 0.95 vs in-test ground truth; test_recall_cosine.rs;
+test_recall_debug.rs trivially-ordered vectors) plus structural invariants
+the reference checks by querying shadow tables (tests/test_scale.rs node
+counts, test_edge_counts.rs prune validation).
+
+One module-scoped graph (400 x 64D, L2) backs most tests to keep CPU
+compile/build time bounded; recall tests at 128D run their own configs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpuvec.index import bruteforce_knn, HnswParams
+from tpuvec.index.build import build_graph, delete_ids, insert_batch, plan_batch_sizes
+from tpuvec.index.graph import allocate, config_for, prepare_vectors
+from tpuvec.index.search import search
+from tpuvec.types import DistanceMetric, IndexQuantization
+from tpuvec.utils.prng import sample_levels, sample_levels_np
+
+N64, D64 = 400, 64
+CFG64 = config_for(
+    D64,
+    metric=DistanceMetric.L2,
+    cap=512,
+    params=HnswParams(m=8, max_m0=16, ef_construction=64, ef_search=64),
+)
+
+
+def copy_state(state):
+    return jax.tree.map(lambda a: a.copy(), state)
+
+
+def recall_at_k(found_ids, true_ids):
+    hits = total = 0
+    for f, t in zip(found_ids, true_ids):
+        t = set(int(x) for x in t if x >= 0)
+        hits += len(t & set(int(x) for x in f))
+        total += len(t)
+    return hits / max(total, 1)
+
+
+@pytest.fixture(scope="module")
+def data64():
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal((N64, D64)).astype(np.float32)
+    xp = np.asarray(prepare_vectors(CFG64, jnp.asarray(x)))
+    state = build_graph(CFG64, xp, max_batch=64)
+    return x, xp, state
+
+
+def test_plan_batch_sizes():
+    sizes = plan_batch_sizes(100, max_batch=32)
+    assert sum(sizes) == 100
+    assert sizes[0] == 1
+    assert max(sizes) <= 32
+    done = 0
+    for s in sizes:
+        if done > 0:
+            assert s <= max(done, 32)
+        done += s
+
+
+def test_levels_np_jnp_agree():
+    ids = np.arange(5000, dtype=np.int32)
+    ln = sample_levels_np(ids, 7, 1 / np.log(32.0), 16)
+    lj = np.asarray(sample_levels(jnp.asarray(ids), 7, 1 / np.log(32.0), 16))
+    assert (ln == lj).mean() > 0.999
+    frac = (ln >= 1).mean()
+    assert 0.015 < frac < 0.06  # ~1/32 decay
+
+
+def test_trivial_ordered_vectors():
+    # reference test_recall_debug.rs: tiny set, nearest must be exact
+    x = np.zeros((10, D64), dtype=np.float32)
+    x[:, 0] = np.arange(10)
+    xp = np.asarray(prepare_vectors(CFG64, jnp.asarray(x)))
+    state = build_graph(CFG64, xp, max_batch=64)
+    q = np.zeros((1, D64), dtype=np.float32)
+    q[0, 0] = 3.1
+    d, i = search(CFG64, state, prepare_vectors(CFG64, jnp.asarray(q)), k=3)
+    assert list(np.asarray(i)[0]) == [3, 4, 2]
+    np.testing.assert_allclose(np.asarray(d)[0], [0.1, 0.9, 1.1], atol=1e-4)
+
+
+def test_recall_vs_oracle(data64):
+    x, xp, state = data64
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal((16, D64)).astype(np.float32)
+    qp = prepare_vectors(CFG64, jnp.asarray(q))
+    d_h, i_h = search(CFG64, state, qp, k=10)
+    gt_d, gt_i = bruteforce_knn(
+        qp, jnp.asarray(xp), jnp.ones(N64, bool), metric=DistanceMetric.L2, k=10
+    )
+    r = recall_at_k(np.asarray(i_h), np.asarray(gt_i))
+    assert r >= 0.95, f"recall@10 = {r}"
+    dh = np.asarray(d_h)
+    assert np.all(np.diff(dh, axis=1) >= -1e-5)  # ascending user-metric dists
+
+
+def test_structural_invariants(data64):
+    x, xp, state = data64
+    levels = np.asarray(state.levels)
+    adj0 = np.asarray(state.adj0)
+    assert int(state.count) == N64
+    assert (levels[:N64] >= 0).all()
+    assert int(state.entry_point) >= 0
+    assert int(state.entry_level) == levels[int(state.entry_point)]
+    assert int(state.entry_level) == levels[:N64].max()
+
+    for i in range(N64):
+        row = adj0[i][adj0[i] >= 0]
+        assert len(row) <= CFG64.max_m0
+        assert i not in row, f"self loop at {i}"
+        assert len(set(row.tolist())) == len(row), f"duplicate edges at {i}"
+        assert (levels[row] >= 0).all()
+        assert len(row) > 0, f"isolated node {i}"
+
+    # stored distances match recomputed squared L2
+    dist = np.asarray(state.adj0_dist)
+    for i in [0, 17, N64 - 1]:
+        for j, nb in enumerate(adj0[i]):
+            if nb >= 0:
+                expect = ((xp[i] - xp[nb]) ** 2).sum()
+                assert abs(dist[i, j] - expect) < 1e-2
+
+    # upper graph consistency
+    upper_slot = np.asarray(state.upper_slot)
+    upper_nodes = np.asarray(state.upper_nodes)
+    for i in range(N64):
+        if levels[i] >= 1:
+            s = upper_slot[i]
+            assert s >= 0 and upper_nodes[s] == i
+
+
+def test_delete_and_research(data64):
+    x, xp, state = data64
+    state = copy_state(state)
+    q = prepare_vectors(CFG64, jnp.asarray(x[:1]))
+    _, near = search(CFG64, state, q, k=16)
+    victims = np.asarray(near)[0]
+    state = delete_ids(CFG64, state, jnp.asarray(victims, dtype=jnp.int32))
+    assert int(state.count) == N64 - 16
+
+    adj0 = np.asarray(state.adj0)
+    for v in victims:
+        assert (adj0 != v).all(), "deleted id still referenced"
+
+    _, i2 = search(CFG64, state, q, k=10)
+    found = set(np.asarray(i2)[0].tolist())
+    assert found.isdisjoint(set(victims.tolist()))
+    assert all(f >= 0 for f in found)
+
+
+def test_delete_entry_point_reselects(data64):
+    _, _, state = data64
+    state = copy_state(state)
+    ep = int(state.entry_point)
+    state = delete_ids(CFG64, state, jnp.asarray([ep] + [-1] * 15, dtype=jnp.int32))
+    new_ep = int(state.entry_point)
+    levels = np.asarray(state.levels)
+    assert new_ep != ep and new_ep >= 0
+    assert levels[new_ep] == int(state.entry_level) == levels[levels >= 0].max()
+
+
+def test_empty_and_single():
+    rng = np.random.default_rng(3)
+    state = allocate(CFG64)
+    q = prepare_vectors(
+        CFG64, jnp.asarray(rng.standard_normal((2, D64)), dtype=jnp.float32)
+    )
+    d, i = search(CFG64, state, q, k=3)
+    assert (np.asarray(i) == -1).all()
+    assert np.isinf(np.asarray(d)).all()
+
+    # single insert through the same fixed-shape batch program
+    v = np.zeros((64, CFG64.padded_dim), dtype=np.float32)
+    v[0] = np.asarray(
+        prepare_vectors(CFG64, jnp.asarray(rng.standard_normal((1, D64)), dtype=jnp.float32))
+    )[0]
+    ids = np.full(64, -1, dtype=np.int32)
+    ids[0] = 0
+    lv = sample_levels(
+        jnp.maximum(jnp.asarray(ids), 0), CFG64.rng_seed, CFG64.level_factor, CFG64.lu
+    )
+    state = insert_batch(CFG64, state, jnp.asarray(ids), jnp.asarray(v), lv)
+    d, i = search(CFG64, state, q, k=3)
+    assert np.asarray(i)[0, 0] == 0
+    assert (np.asarray(i)[:, 1:] == -1).all()
+    assert int(state.count) == 1
+    assert int(state.entry_point) == 0
+
+
+def test_recall_cosine_128():
+    # reference test_recall_cosine.rs analogue, with the normalize+L2 trick
+    rng = np.random.default_rng(11)
+    n, d, k = 600, 128, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    cfg = config_for(
+        d,
+        metric=DistanceMetric.COSINE,
+        cap=1024,
+        params=HnswParams(m=16, max_m0=32, ef_construction=100, ef_search=100),
+    )
+    assert cfg.normalized
+    xp = np.asarray(prepare_vectors(cfg, jnp.asarray(x)))
+    state = build_graph(cfg, xp, max_batch=128)
+    qp = prepare_vectors(cfg, jnp.asarray(q))
+    d_h, i_h = search(cfg, state, qp, k=k)
+
+    gt_d, gt_i = bruteforce_knn(
+        jnp.asarray(q), jnp.asarray(x), jnp.ones(n, bool),
+        metric=DistanceMetric.COSINE, k=k,
+    )
+    r = recall_at_k(np.asarray(i_h), np.asarray(gt_i))
+    assert r >= 0.95, f"cosine recall@10 = {r}"
+    # user distances are true cosine distances
+    top = np.asarray(i_h)[:, 0]
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    expect = 1.0 - np.einsum("bd,bd->b", qn, xn[top])
+    np.testing.assert_allclose(np.asarray(d_h)[:, 0], expect, atol=1e-4)
+
+
+def test_int8_index_quantization_recall():
+    # reference test_quantization_perf.rs: int8-quantized index recall >= 0.90
+    rng = np.random.default_rng(5)
+    n, d, k = 600, 128, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[rng.integers(0, n, 16)] + 0.05 * rng.standard_normal((16, d)).astype(
+        np.float32
+    )
+    cfg = config_for(
+        d,
+        metric=DistanceMetric.COSINE,
+        cap=1024,
+        quantization=IndexQuantization.INT8,
+        params=HnswParams(m=16, max_m0=32, ef_construction=100, ef_search=100),
+    )
+    assert cfg.store_dtype == jnp.int8
+    xp = np.asarray(prepare_vectors(cfg, jnp.asarray(x)))
+    state = build_graph(cfg, xp, max_batch=128)
+    qp = prepare_vectors(cfg, jnp.asarray(q))
+    _, i_h = search(cfg, state, qp, k=k)
+
+    gt_d, gt_i = bruteforce_knn(
+        jnp.asarray(q), jnp.asarray(x), jnp.ones(n, bool),
+        metric=DistanceMetric.COSINE, k=k,
+    )
+    r = recall_at_k(np.asarray(i_h), np.asarray(gt_i))
+    assert r >= 0.90, f"int8 recall@10 = {r}"

@@ -1,0 +1,403 @@
+"""Batched HNSW construction, deletion and rebuild.
+
+TPU-native recast of the reference's per-row insert path
+(insert_hnsw, src/hnsw/insert.rs:279-532). Differences by design:
+
+* Inserts land in mini-batches. A whole batch runs the candidate beam
+  search together; batch members don't see each other in the level-0 graph
+  (the build driver keeps batch size <= current graph size, so staleness
+  stays bounded — the same spirit as the reference tolerating
+  cross-connection staleness via refresh_entry_point, mod.rs:386-424).
+* Upper-level (>= 1) neighbor selection is *exact*: only ~1/M of nodes
+  reach level 1, so a chunked MXU matmul over all upper nodes beats graph
+  traversal and improves on the reference's beam there.
+* Pruning is the reference's default "simple prune" — keep the closest
+  max_conn by stored edge distance (insert.rs:144-221) — applied as a
+  masked top_k over [M0, M0+1] buffers inside a lax.scan over the batch
+  (reverse edges conflict on shared neighbors; the scan keeps updates
+  exact).
+* Level sampling is a deterministic pure function of the node id
+  (utils/prng.py) instead of the reference's time-seeded hash
+  (insert.rs:114-137).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuvec.index.bruteforce import bruteforce_knn_internal
+from tpuvec.index.graph import GraphState, HnswConfig, allocate
+from tpuvec.index.search import (
+    beam_search_level0,
+    default_max_iters,
+    descend_to_level1,
+)
+from tpuvec.utils.prng import sample_levels
+
+__all__ = ["insert_batch", "build_graph", "delete_ids", "plan_batch_sizes"]
+
+_INF = jnp.float32(jnp.inf)
+
+
+def _prune_scan(adj, adj_dist, rows_idx, new_id, new_dist, ok, cap, max_conn):
+    """Merge `new_id` into each adjacency row rows_idx[j] keeping the
+    closest `max_conn` (the reference's prune, insert.rs:144-221).
+
+    adj/adj_dist: [R, max_conn] arrays for this level. rows_idx [M]: rows
+    to update; new_id scalar; new_dist [M]; ok [M] mask.
+    Returns updated (adj, adj_dist).
+    """
+    m = rows_idx.shape[0]
+    safe = jnp.maximum(rows_idx, 0)
+    rows = adj[safe]            # [M, max_conn]
+    rowsd = adj_dist[safe]
+    cat_i = jnp.concatenate(
+        [rows, jnp.where(ok, new_id, -1)[:, None]], axis=1
+    )
+    cat_d = jnp.concatenate(
+        [rowsd, jnp.where(ok, new_dist, _INF)[:, None]], axis=1
+    )
+    negv, sel = jax.lax.top_k(-cat_d, max_conn)
+    new_rows = jnp.take_along_axis(cat_i, sel, axis=1)
+    new_rowsd = -negv
+    new_rows = jnp.where(jnp.isfinite(new_rowsd), new_rows, -1)
+    tgt = jnp.where(ok, rows_idx, cap)  # out-of-range -> dropped
+    adj = adj.at[tgt].set(new_rows, mode="drop")
+    adj_dist = adj_dist.at[tgt].set(new_rowsd, mode="drop")
+    return adj, adj_dist
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnames=("state",))
+def insert_batch(
+    config: HnswConfig,
+    state: GraphState,
+    new_ids: jnp.ndarray,     # [nb] i32, -1 = padding
+    new_vecs: jnp.ndarray,    # [nb, Dp] already prepared (prepare_vectors)
+    new_levels: jnp.ndarray,  # [nb] i32 (from sample_levels; ignored for pads)
+) -> GraphState:
+    """Insert a padded mini-batch of nodes. Pure function of (state, batch)."""
+    c = config
+    nb = new_ids.shape[0]
+    ok_new = new_ids >= 0
+    safe_ids = jnp.maximum(new_ids, 0)
+    new_levels = jnp.where(ok_new, jnp.minimum(new_levels, c.lu), -1)
+
+    # ---- 1. write vectors + levels, allocate upper slots -----------------
+    tgt = jnp.where(ok_new, new_ids, c.cap)
+    vectors = state.vectors.at[tgt].set(new_vecs, mode="drop")
+    levels = state.levels.at[tgt].set(jnp.maximum(new_levels, 0), mode="drop")
+
+    is_up = jnp.logical_and(ok_new, new_levels >= 1)
+    slot_off = jnp.cumsum(is_up.astype(jnp.int32)) - 1
+    slot = jnp.where(is_up, state.upper_count + slot_off, -1)
+    overflow = slot >= c.cap_u
+    slot = jnp.where(overflow, -1, slot)
+    # overflowing nodes are demoted to level 0
+    new_levels = jnp.where(overflow, 0, new_levels)
+    levels = levels.at[tgt].set(jnp.maximum(new_levels, 0), mode="drop")
+    upper_slot = state.upper_slot.at[tgt].set(slot, mode="drop")
+    upper_nodes = state.upper_nodes.at[
+        jnp.where(slot >= 0, slot, c.cap_u)
+    ].set(new_ids, mode="drop")
+    upper_count = state.upper_count + jnp.sum(
+        jnp.logical_and(is_up, jnp.logical_not(overflow)).astype(jnp.int32)
+    )
+
+    state = GraphState(
+        vectors=vectors,
+        adj0=state.adj0,
+        adj0_dist=state.adj0_dist,
+        levels=levels,
+        upper_slot=upper_slot,
+        upper_nodes=upper_nodes,
+        upper_adj=state.upper_adj,
+        upper_dist=state.upper_dist,
+        entry_point=state.entry_point,
+        entry_level=state.entry_level,
+        count=state.count,
+        upper_count=upper_count,
+    )
+
+    # ---- 3. level-0 candidates (batched beam, ef_construction) -----------
+    seed_ids, seed_d = descend_to_level1(config, state, new_vecs)
+    efc = max(c.ef_construction, c.max_m0)
+    cand_d, cand_i, _ = beam_search_level0(
+        config,
+        state,
+        new_vecs,
+        seed_ids,
+        seed_d,
+        ef=efc,
+        max_iters=default_max_iters(efc, 2),
+        n_expand=2,
+    )
+
+    # ---- 2. upper-level edges (exact selection over the upper pool) ------
+    pool_vecs = state.vectors[jnp.maximum(state.upper_nodes, 0)]  # [cap_u, Dp]
+    pool_levels = jnp.where(
+        state.upper_nodes >= 0, state.levels[jnp.maximum(state.upper_nodes, 0)], -1
+    )
+    upper_adj, upper_dist = state.upper_adj, state.upper_dist
+    for lev in range(1, c.lu + 1):
+        at_lev = jnp.logical_and(ok_new, new_levels >= lev)
+
+        def do_level(upper_adj, upper_dist, lev=lev, at_lev=at_lev):
+            pool_ok = pool_levels >= lev
+            # top (m+1) then drop self
+            d_sel, slot_sel = bruteforce_knn_internal(
+                new_vecs,
+                pool_vecs,
+                pool_ok,
+                metric=c.graph_metric,
+                k=c.m + 1,
+                normalized=c.normalized,
+            )  # ids are *slot* indices
+            nbr_ids = jnp.where(
+                slot_sel >= 0, state.upper_nodes[jnp.maximum(slot_sel, 0)], -1
+            )
+            is_self = nbr_ids == new_ids[:, None]
+            d_sel = jnp.where(is_self, _INF, d_sel)
+            nbr_ids = jnp.where(is_self, -1, nbr_ids)
+            negv, order = jax.lax.top_k(-d_sel, c.m)
+            sel_d = -negv
+            sel_i = jnp.take_along_axis(nbr_ids, order, axis=1)
+            sel_i = jnp.where(jnp.isfinite(sel_d), sel_i, -1)
+
+            # forward edges
+            row_tgt = jnp.where(at_lev, slot, c.cap_u)
+            upper_adj = upper_adj.at[row_tgt, lev - 1].set(sel_i, mode="drop")
+            upper_dist = upper_dist.at[row_tgt, lev - 1].set(sel_d, mode="drop")
+
+            # reverse edges with prune (scan keeps conflicting updates exact)
+            adj_l = upper_adj[:, lev - 1, :]
+            dist_l = upper_dist[:, lev - 1, :]
+
+            def rev_body(carry, inp):
+                a, ad = carry
+                u, s_i, s_d, u_ok = inp
+                s_slots = jnp.where(
+                    s_i >= 0, state.upper_slot[jnp.maximum(s_i, 0)], -1
+                )
+                ok = jnp.logical_and(
+                    jnp.logical_and(s_slots >= 0, jnp.isfinite(s_d)), u_ok
+                )
+                a, ad = _prune_scan(a, ad, s_slots, u, s_d, ok, c.cap_u, c.m)
+                return (a, ad), None
+
+            (adj_l, dist_l), _ = jax.lax.scan(
+                rev_body, (adj_l, dist_l), (new_ids, sel_i, sel_d, at_lev)
+            )
+            upper_adj = upper_adj.at[:, lev - 1, :].set(adj_l)
+            upper_dist = upper_dist.at[:, lev - 1, :].set(dist_l)
+            return upper_adj, upper_dist
+
+        # most batches have no member at higher levels — skip the matmul
+        upper_adj, upper_dist = jax.lax.cond(
+            jnp.any(at_lev),
+            do_level,
+            lambda a, d: (a, d),
+            upper_adj,
+            upper_dist,
+        )
+
+    state = GraphState(
+        vectors=state.vectors,
+        adj0=state.adj0,
+        adj0_dist=state.adj0_dist,
+        levels=state.levels,
+        upper_slot=state.upper_slot,
+        upper_nodes=state.upper_nodes,
+        upper_adj=upper_adj,
+        upper_dist=upper_dist,
+        entry_point=state.entry_point,
+        entry_level=state.entry_level,
+        count=state.count,
+        upper_count=state.upper_count,
+    )
+
+    # ---- 4. forward level-0 edges (top max_m0, insert.rs:422-430) --------
+    # candidates come from the pre-batch graph so self/batch loops cannot
+    # occur by construction; the self mask is defense in depth.
+    self_hit = cand_i == new_ids[:, None]
+    cand_d = jnp.where(self_hit, _INF, cand_d)
+    cand_i = jnp.where(self_hit, -1, cand_i)
+    negv, order = jax.lax.top_k(-cand_d, c.max_m0)
+    fwd_d = -negv
+    fwd_i = jnp.take_along_axis(cand_i, order, axis=1)
+    fwd_i = jnp.where(jnp.isfinite(fwd_d), fwd_i, -1)
+    adj0 = state.adj0.at[tgt].set(fwd_i, mode="drop")
+    adj0_dist = state.adj0_dist.at[tgt].set(fwd_d, mode="drop")
+
+    # ---- 5. reverse level-0 edges with prune ------------------------------
+    def rev0_body(carry, inp):
+        a, ad = carry
+        u, s_i, s_d, u_ok = inp
+        ok = jnp.logical_and(jnp.logical_and(s_i >= 0, jnp.isfinite(s_d)), u_ok)
+        a, ad = _prune_scan(a, ad, s_i, u, s_d, ok, c.cap, c.max_m0)
+        return (a, ad), None
+
+    (adj0, adj0_dist), _ = jax.lax.scan(
+        rev0_body, (adj0, adj0_dist), (new_ids, fwd_i, fwd_d, ok_new)
+    )
+
+    # ---- 6. entry point + count ------------------------------------------
+    lv_masked = jnp.where(ok_new, new_levels, -1)
+    new_max = jnp.max(lv_masked)
+    best = new_ids[jnp.argmax(lv_masked)]
+    upgrade = new_max > state.entry_level
+    entry_point = jnp.where(upgrade, best, state.entry_point)
+    entry_level = jnp.where(upgrade, new_max, state.entry_level)
+    count = state.count + jnp.sum(ok_new.astype(jnp.int32))
+
+    return GraphState(
+        vectors=state.vectors,
+        adj0=adj0,
+        adj0_dist=adj0_dist,
+        levels=state.levels,
+        upper_slot=state.upper_slot,
+        upper_nodes=state.upper_nodes,
+        upper_adj=state.upper_adj,
+        upper_dist=state.upper_dist,
+        entry_point=entry_point,
+        entry_level=entry_level,
+        count=count,
+        upper_count=state.upper_count,
+    )
+
+
+def plan_batch_sizes(total: int, max_batch: int = 1024) -> list[int]:
+    """Doubling schedule of *live* batch sizes: 1, 1, 2, 4, ... so every
+    batch is no larger than the graph it is inserted into (bounds
+    within-batch staleness). The device batches are all padded to one fixed
+    shape (max_batch) so jit compiles the insert program exactly once per
+    config."""
+    sizes = []
+    done = 0
+    b = 1
+    while done < total:
+        take = min(b, total - done)
+        sizes.append(take)
+        done += take
+        b = min(max(b * 2, 1), max_batch)
+    return sizes
+
+
+def build_graph(
+    config: HnswConfig,
+    vectors_prepared: jnp.ndarray,
+    ids: np.ndarray | None = None,
+    *,
+    max_batch: int = 1024,
+    state: GraphState | None = None,
+) -> GraphState:
+    """Build a graph over prepared vectors [N, Dp] (host driver).
+
+    Equivalent of rebuild_hnsw_index's re-insert-everything loop
+    (src/hnsw/rebuild.rs:20-76) but batched. Batch sizes are padded to the
+    doubling schedule so jit caches a handful of shapes.
+    """
+    n = vectors_prepared.shape[0]
+    if ids is None:
+        ids = np.arange(n, dtype=np.int32)
+    state = state if state is not None else allocate(config)
+    vectors_prepared = np.asarray(vectors_prepared)
+    pos = 0
+    shape = max_batch  # fixed shape: one jit compile per (config, max_batch)
+    for take in plan_batch_sizes(n, max_batch):
+        batch_ids = np.full(shape, -1, dtype=np.int32)
+        batch_ids[:take] = ids[pos : pos + take]
+        bv = np.zeros((shape, vectors_prepared.shape[1]), vectors_prepared.dtype)
+        bv[:take] = vectors_prepared[pos : pos + take]
+        bi = jnp.asarray(batch_ids)
+        lv = sample_levels(
+            jnp.maximum(bi, 0), config.rng_seed, config.level_factor, config.lu
+        )
+        state = insert_batch(config, state, bi, jnp.asarray(bv), lv)
+        pos += take
+    return state
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnames=("state",))
+def delete_ids(
+    config: HnswConfig, state: GraphState, ids: jnp.ndarray
+) -> GraphState:
+    """Delete nodes (padded id list, -1 = padding).
+
+    Mirrors Vec0Tab::delete semantics (src/vtab.rs:1326-1407): remove the
+    node and *all* edges referencing it, reselect the entry point by max
+    level, decrement the count.
+    """
+    c = config
+    ok = ids >= 0
+    # node-level bookkeeping
+    tgt = jnp.where(ok, ids, c.cap)
+    slots = jnp.where(ok, state.upper_slot[jnp.maximum(ids, 0)], -1)
+    levels = state.levels.at[tgt].set(-1, mode="drop")
+    upper_slot = state.upper_slot.at[tgt].set(-1, mode="drop")
+    upper_nodes = state.upper_nodes.at[
+        jnp.where(slots >= 0, slots, c.cap_u)
+    ].set(-1, mode="drop")
+    adj0 = state.adj0.at[tgt].set(-1, mode="drop")
+    adj0_dist = state.adj0_dist.at[tgt].set(_INF, mode="drop")
+    upper_adj = state.upper_adj.at[
+        jnp.where(slots >= 0, slots, c.cap_u)
+    ].set(-1, mode="drop")
+    upper_dist = state.upper_dist.at[
+        jnp.where(slots >= 0, slots, c.cap_u)
+    ].set(_INF, mode="drop")
+
+    # scrub inbound edges: any adjacency cell equal to a deleted id -> -1.
+    # Membership test via sorted searchsorted (O(cap*M0*log nd) and no
+    # [cap, M0, nd] broadcast, so it scales to millions of nodes).
+    deleted = jnp.sort(jnp.where(ok, ids, jnp.iinfo(jnp.int32).max))
+
+    def scrub(a, ad):
+        pos = jnp.searchsorted(deleted, a)
+        found = deleted[jnp.minimum(pos, deleted.shape[0] - 1)] == a
+        hit = jnp.logical_and(found, a >= 0)
+        return jnp.where(hit, -1, a), jnp.where(hit, _INF, ad)
+
+    adj0, adj0_dist = scrub(adj0, adj0_dist)
+    upper_adj, upper_dist = scrub(upper_adj, upper_dist)
+
+    # entry reselection (src/vtab.rs:1364-1392): max level among live nodes
+    entry_deleted = jnp.any(jnp.logical_and(ok, ids == state.entry_point))
+    live = levels >= 0
+    any_live = jnp.any(live)
+    cand_level = jnp.where(live, levels, -1)
+    new_entry = jnp.argmax(cand_level).astype(jnp.int32)
+    new_level = jnp.max(cand_level)
+    entry_point = jnp.where(
+        entry_deleted,
+        jnp.where(any_live, new_entry, -1),
+        state.entry_point,
+    )
+    entry_level = jnp.where(
+        entry_deleted,
+        jnp.where(any_live, new_level, -1),
+        state.entry_level,
+    )
+    count = state.count - jnp.sum(
+        jnp.logical_and(ok, state.levels[jnp.maximum(ids, 0)] >= 0).astype(
+            jnp.int32
+        )
+    )
+
+    return GraphState(
+        vectors=state.vectors,
+        adj0=adj0,
+        adj0_dist=adj0_dist,
+        levels=levels,
+        upper_slot=upper_slot,
+        upper_nodes=upper_nodes,
+        upper_adj=upper_adj,
+        upper_dist=upper_dist,
+        entry_point=entry_point,
+        entry_level=entry_level,
+        count=count,
+        upper_count=state.upper_count,
+    )

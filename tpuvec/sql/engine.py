@@ -1,0 +1,392 @@
+"""Database facade: the reference's SQL surface over TPU-backed tables.
+
+The reference is a loadable SQLite extension: scalar functions + a `vec0`
+virtual-table module (src/lib.rs:26-34, src/vtab.rs:123-145). The stdlib
+``sqlite3`` module cannot host virtual tables, so the TPU-native equivalent
+is a hybrid engine:
+
+* a real in-process SQLite connection carries all ordinary SQL, with every
+  vec_* scalar function registered on it (tpuvec.sql.functions);
+* statements that touch a vec0 table (CREATE VIRTUAL TABLE ... USING vec0,
+  INSERT/UPDATE/DELETE/SELECT on it) are parsed by a mini-planner and
+  executed against VecTable device state. The planner recognizes exactly
+  the statement shapes the reference's vtab engine handles via
+  best_index/filter (src/vtab.rs:964-1028, 2084-2330): KNN is
+  ``WHERE col MATCH ? AND k = ?`` ordered by the hidden ``distance``
+  column; everything else is full scan / rowid lookup.
+
+Management functions follow the reference: ``vec_rebuild_hnsw(table, col
+[, M, ef_construction])`` (src/sql_functions.rs:436-534) and the
+integrity check exposed as ``Database.integrity_check`` (xIntegrity,
+src/vtab.rs:1264-1322).
+"""
+
+from __future__ import annotations
+
+import re
+import sqlite3
+from typing import Any, Iterable, Sequence
+
+import numpy as np
+
+from tpuvec.codec import Vector
+from tpuvec.index.params import HnswParams
+from tpuvec.sql import functions as F
+from tpuvec.sql.ddl import parse_create_vtab
+from tpuvec.store.table import VecTable
+from tpuvec.types import (
+    InvalidParameter,
+    InvalidState,
+    VectorType,
+)
+
+__all__ = ["Database", "connect", "Cursor"]
+
+
+def connect(path: str = ":memory:") -> "Database":
+    return Database(path)
+
+
+class Cursor:
+    """Minimal DB-API-ish cursor for planner results."""
+
+    def __init__(self, rows: list[tuple], description: list[str]):
+        self._rows = rows
+        self.description = [(n, None, None, None, None, None, None) for n in description]
+
+    def fetchall(self) -> list[tuple]:
+        return list(self._rows)
+
+    def fetchone(self):
+        return self._rows[0] if self._rows else None
+
+    def __iter__(self):
+        return iter(self._rows)
+
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>[\w\"]+)\s*\((?P<cols>[^)]*)\)\s*"
+    r"VALUES\s*(?P<values>\(.*\))\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[\w\"]+)\s+WHERE\s+rowid\s*(?:=\s*(?P<rid>\?|\d+)|IN\s*\((?P<rids>[^)]*)\))\s*;?\s*$",
+    re.IGNORECASE,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>[\w\"]+)\s+SET\s+(?P<sets>.+?)\s+WHERE\s+rowid\s*=\s*(?P<rid>\?|\d+)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w\"]+)\s*;?\s*$", re.IGNORECASE
+)
+_SELECT_RE = re.compile(
+    r"^\s*SELECT\s+(?P<cols>.+?)\s+FROM\s+(?P<name>[\w\"]+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>[\w\s,\"]+?))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\?|\d+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MATCH_RE = re.compile(r"(?P<col>[\w\"]+)\s+MATCH\s+(?P<val>\?|'[^']*')", re.IGNORECASE)
+_K_RE = re.compile(r"\bk\s*=\s*(?P<val>\?|\d+)", re.IGNORECASE)
+_EQ_RE = re.compile(r"(?P<col>[\w\"]+)\s*=\s*(?P<val>\?|'[^']*'|-?\d+(?:\.\d+)?)")
+_REBUILD_RE = re.compile(
+    r"^\s*SELECT\s+vec_rebuild_hnsw\s*\((?P<args>.*)\)\s*;?\s*$", re.IGNORECASE
+)
+
+
+class Database:
+    """A connection-like object holding vec0 tables plus a real SQLite
+    connection for everything else."""
+
+    def __init__(self, path: str = ":memory:"):
+        self.sqlite = sqlite3.connect(path)
+        F.register_all(self.sqlite)
+        self.tables: dict[str, VecTable] = {}
+
+    # -------------------------------------------------------------- #
+
+    def close(self) -> None:
+        self.sqlite.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def table(self, name: str) -> VecTable:
+        if name not in self.tables:
+            raise InvalidState(f"no vec0 table named '{name}'")
+        return self.tables[name]
+
+    def integrity_check(self, name: str) -> list[str]:
+        return self.table(name).integrity_check()
+
+    # -------------------------------------------------------------- #
+
+    def execute(self, sql: str, params: Sequence[Any] = ()) -> Cursor:
+        params = list(params)
+
+        created = parse_create_vtab(sql)
+        if created is not None:
+            name, columns, index_type = created
+            if name in self.tables:
+                if re.search(r"IF\s+NOT\s+EXISTS", sql, re.IGNORECASE):
+                    return Cursor([], [])
+                raise InvalidState(f"table '{name}' already exists")
+            self.tables[name] = VecTable(name, columns, index_type=index_type)
+            return Cursor([], [])
+
+        m = _REBUILD_RE.match(sql)
+        if m:
+            return self._rebuild(m.group("args"), params)
+
+        m = _DROP_RE.match(sql)
+        if m and m.group("name").strip('"') in self.tables:
+            del self.tables[m.group("name").strip('"')]
+            return Cursor([], [])
+
+        m = _INSERT_RE.match(sql)
+        if m and m.group("name").strip('"') in self.tables:
+            return self._insert(m, params)
+
+        m = _DELETE_RE.match(sql)
+        if m and m.group("name").strip('"') in self.tables:
+            return self._delete(m, params)
+
+        m = _UPDATE_RE.match(sql)
+        if m and m.group("name").strip('"') in self.tables:
+            return self._update(m, params)
+
+        m = _SELECT_RE.match(sql)
+        if m and m.group("name").strip('"') in self.tables:
+            return self._select(m, params)
+
+        cur = self.sqlite.execute(sql, params)
+        desc = [d[0] for d in cur.description] if cur.description else []
+        return Cursor(cur.fetchall(), desc)
+
+    executemany = None  # use insert loops; kept explicit
+
+    # -------------------------------------------------------------- #
+
+    @staticmethod
+    def _take_param(token: str, params: list):
+        if token == "?":
+            if not params:
+                raise InvalidParameter("not enough bind parameters")
+            return params.pop(0)
+        if token.startswith("'"):
+            return token[1:-1]
+        try:
+            return int(token)
+        except ValueError:
+            return float(token)
+
+    def _split_value_rows(self, values: str) -> list[str]:
+        rows, depth, cur = [], 0, []
+        for ch in values:
+            if ch == "(":
+                depth += 1
+                if depth == 1:
+                    cur = []
+                    continue
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    rows.append("".join(cur))
+                    continue
+            if depth >= 1:
+                cur.append(ch)
+        return rows
+
+    def _split_exprs(self, row: str) -> list[str]:
+        out, depth, cur, in_str = [], 0, [], False
+        for ch in row:
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    out.append("".join(cur).strip())
+                    cur = []
+                    continue
+            cur.append(ch)
+        out.append("".join(cur).strip())
+        return out
+
+    def _eval_expr(self, expr: str, params: list):
+        """Evaluate a VALUES expression: ?, literal, or vec_*(...) call."""
+        expr = expr.strip()
+        if expr == "?":
+            return self._take_param("?", params)
+        if expr.upper() == "NULL":
+            return None
+        call = re.match(r"^(vec_\w+)\s*\((.*)\)$", expr, re.DOTALL)
+        if call:
+            fn = getattr(F, call.group(1), None)
+            if fn is None:
+                raise InvalidParameter(f"unknown function {call.group(1)}")
+            args = [self._eval_expr(a, params) for a in self._split_exprs(call.group(2))]
+            return fn(*args)
+        if expr.startswith("'"):
+            return expr[1:-1]
+        if expr.startswith("[") or expr.startswith("x'"):
+            if expr.startswith("x'"):
+                return bytes.fromhex(expr[2:-1])
+            return expr  # JSON text vector
+        try:
+            return int(expr)
+        except ValueError:
+            return float(expr)
+
+    def _insert(self, m, params: list) -> Cursor:
+        table = self.table(m.group("name").strip('"'))
+        cols = [c.strip().strip('"') for c in m.group("cols").split(",")]
+        for row in self._split_value_rows(m.group("values")):
+            exprs = self._split_exprs(row)
+            if len(exprs) != len(cols):
+                raise InvalidParameter("column/value count mismatch")
+            values = {}
+            rowid = None
+            for c, e in zip(cols, exprs):
+                v = self._eval_expr(e, params)
+                if c.lower() == "rowid":
+                    rowid = int(v)
+                else:
+                    values[c] = v
+            table.insert(values, rowid=rowid)
+        table.flush()
+        return Cursor([], [])
+
+    def _delete(self, m, params: list) -> Cursor:
+        table = self.table(m.group("name").strip('"'))
+        if m.group("rid") is not None:
+            rid = int(self._take_param(m.group("rid"), params))
+            table.delete(rid)
+        else:
+            rids = [
+                int(self._take_param(t.strip(), params))
+                for t in m.group("rids").split(",")
+            ]
+            table.delete_many(rids)
+        return Cursor([], [])
+
+    def _update(self, m, params: list) -> Cursor:
+        table = self.table(m.group("name").strip('"'))
+        sets = {}
+        for part in self._split_exprs(m.group("sets")):
+            k, v = part.split("=", 1)
+            sets[k.strip().strip('"')] = self._eval_expr(v.strip(), params)
+        rid = int(self._take_param(m.group("rid"), params))
+        table.update(rid, sets)
+        return Cursor([], [])
+
+    def _select(self, m, params: list) -> Cursor:
+        table = self.table(m.group("name").strip('"'))
+        where = m.group("where") or ""
+        cols_expr = m.group("cols").strip()
+        limit = m.group("limit")
+
+        match = _MATCH_RE.search(where)
+        if match:
+            kq = _K_RE.search(where)
+            # consume params in textual order: MATCH ? before k = ?
+            qval = (
+                self._take_param(match.group("val"), params)
+                if match.group("val") == "?"
+                else match.group("val")[1:-1]
+            )
+            k = int(self._take_param(kq.group("val"), params)) if kq else 10
+            # extra equality filters (partition / metadata)
+            partition = None
+            predicate_eqs = {}
+            for em in _EQ_RE.finditer(where):
+                col = em.group("col").strip('"')
+                if col.lower() == "k" or col == match.group("col").strip('"'):
+                    continue
+                val = self._take_param(em.group("val"), params)
+                if col == table.partition_col:
+                    partition = val
+                else:
+                    predicate_eqs[col] = val
+            predicate = None
+            if predicate_eqs:
+                def predicate(rid, vals, _eqs=predicate_eqs):
+                    return all(vals.get(c) == v for c, v in _eqs.items())
+
+            col = match.group("col").strip('"')
+            results = table.knn(
+                col, qval, k=k, partition=partition, predicate=predicate
+            )
+            if limit:
+                n = int(self._take_param(limit, params))
+                results = results[:n]
+            return self._project(table, cols_expr, [(r.rowid, r.distance) for r in results])
+
+        # rowid lookup or full scan
+        rid_m = re.search(r"rowid\s*=\s*(\?|\d+)", where, re.IGNORECASE)
+        if rid_m:
+            rid = int(self._take_param(rid_m.group(1), params))
+            rows = [(rid, None)] if rid in table._rowid_to_slot else []
+        else:
+            table.flush()
+            rows = [(rid, None) for rid in sorted(table._rowid_to_slot)]
+            if limit:
+                rows = rows[: int(self._take_param(limit, params))]
+        return self._project(table, cols_expr, rows)
+
+    def _project(self, table: VecTable, cols_expr: str, rows) -> Cursor:
+        names: list[str]
+        if cols_expr.strip() == "*":
+            names = ["rowid"] + [c.name for c in table.columns]
+        else:
+            names = [c.strip().strip('"') for c in self._split_exprs(cols_expr)]
+        out = []
+        for rid, dist in rows:
+            stored = table.row(rid)
+            rec = []
+            for n in names:
+                ln = n.lower()
+                if ln == "rowid":
+                    rec.append(rid)
+                elif ln == "distance":
+                    rec.append(dist)
+                elif n in stored:
+                    v = stored[n]
+                    # vectors read back as JSON text, like column()
+                    # (src/vtab.rs:2341-2482)
+                    rec.append(v.to_json() if isinstance(v, Vector) else v)
+                else:
+                    rec.append(None)
+            out.append(tuple(rec))
+        return Cursor(out, names)
+
+    def _rebuild(self, args: str, params: list) -> Cursor:
+        """SELECT vec_rebuild_hnsw('t', 'col'[, M, ef_construction])."""
+        parts = [self._eval_expr(a, params) for a in self._split_exprs(args)]
+        if len(parts) < 2:
+            raise InvalidParameter("vec_rebuild_hnsw(table, column[, M, ef_c])")
+        tname, cname = str(parts[0]), str(parts[1])
+        table = self.table(tname)
+        vc = table.vector_cols.get(cname)
+        if vc is None:
+            raise InvalidParameter(f"'{cname}' is not a vector column of '{tname}'")
+        hp = vc.params
+        if len(parts) >= 3 and parts[2] is not None:
+            m_val = int(parts[2])
+            # bounds from the reference (src/sql_functions.rs:456-465)
+            if not (2 <= m_val <= 100):
+                raise InvalidParameter("M must be in [2, 100]")
+            hp = hp.with_(m=m_val, max_m0=2 * m_val)
+        if len(parts) >= 4 and parts[3] is not None:
+            efc = int(parts[3])
+            if not (10 <= efc <= 2000):
+                raise InvalidParameter("ef_construction must be in [10, 2000]")
+            hp = hp.with_(ef_construction=efc)
+        table.rebuild(cname, params=hp)
+        return Cursor([("ok",)], ["vec_rebuild_hnsw"])

@@ -1,0 +1,162 @@
+"""Snapshot / restore: host-side persistence of a VecTable.
+
+The reference's checkpoint story is "the SQLite file IS the checkpoint"
+(shadow tables persist nodes/edges/meta, src/shadow.rs:192-257; resume =
+reopen, tests/test_disk_persistence.rs). Here the authoritative state
+lives in HBM, so persistence is an explicit snapshot: device arrays are
+pulled to host and written as one .npz archive plus a JSON schema record;
+restore is a jax.device_put of the arrays.
+
+When the native runtime is built (csrc/), the same logical format is
+written through the C++ storage engine (mmap + CRC); this module is the
+always-available fallback and the format definition.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import os
+import tempfile
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpuvec.index.graph import GraphState
+from tpuvec.index.params import HnswParams
+from tpuvec.store.table import ColumnSpec, VecTable, _VectorColumn
+from tpuvec.types import (
+    DistanceMetric,
+    IndexQuantization,
+    IndexType,
+    InvalidState,
+    VectorType,
+)
+
+__all__ = ["save", "load", "FORMAT_VERSION"]
+
+FORMAT_VERSION = 1
+
+_GRAPH_FIELDS = [
+    "vectors",
+    "adj0",
+    "adj0_dist",
+    "levels",
+    "upper_slot",
+    "upper_nodes",
+    "upper_adj",
+    "upper_dist",
+    "entry_point",
+    "entry_level",
+    "count",
+    "upper_count",
+]
+
+
+def _spec_to_json(spec: ColumnSpec) -> dict:
+    d = {
+        "name": spec.name,
+        "kind": spec.kind,
+        "dimensions": spec.dimensions,
+        "metric": spec.metric.value,
+        "hnsw": spec.hnsw,
+        "quantization": spec.quantization.value,
+    }
+    if spec.vec_type is not None:
+        d["vec_type"] = spec.vec_type.value
+    if spec.params is not None:
+        d["params"] = dataclasses.asdict(spec.params)
+    return d
+
+
+def _spec_from_json(d: dict) -> ColumnSpec:
+    return ColumnSpec(
+        name=d["name"],
+        kind=d["kind"],
+        vec_type=VectorType.parse(d["vec_type"]) if "vec_type" in d else None,
+        dimensions=d.get("dimensions", 0),
+        metric=DistanceMetric.parse(d.get("metric", "cosine")),
+        hnsw=d.get("hnsw", False),
+        params=HnswParams(**d["params"]) if "params" in d else None,
+        quantization=IndexQuantization.parse(d.get("quantization", "none")),
+    )
+
+
+def save(table: VecTable, path: str) -> None:
+    """Write a snapshot atomically (tmp file + rename)."""
+    table.flush()
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "name": table.name,
+        "index_type": table.index_type.value,
+        "columns": [_spec_to_json(c) for c in table.columns],
+        "rowid_to_slot": {str(k): v for k, v in table._rowid_to_slot.items()},
+        "max_rowid": table._max_rowid,
+        "next_slot": table._next_slot,
+        "free_slots": table._free_slots,
+        "scalar_data": {
+            cname: {str(k): v for k, v in vals.items()}
+            for cname, vals in table._scalar_data.items()
+        },
+    }
+    arrays: dict[str, np.ndarray] = {}
+    for cname, vc in table.vector_cols.items():
+        arrays[f"raw::{cname}"] = vc.raw
+        for f in _GRAPH_FIELDS:
+            arrays[f"graph::{cname}::{f}"] = np.asarray(getattr(vc.state, f))
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8
+    )
+
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez_compressed(f, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load(path: str) -> VecTable:
+    """Restore a VecTable from a snapshot file."""
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
+        if meta.get("format_version") != FORMAT_VERSION:
+            raise InvalidState(
+                f"unsupported snapshot format {meta.get('format_version')}"
+            )
+        columns = [_spec_from_json(c) for c in meta["columns"]]
+        table = VecTable(
+            meta["name"],
+            columns,
+            index_type=IndexType.parse(meta["index_type"]),
+            initial_cap=128,
+        )
+        table._rowid_to_slot = {int(k): v for k, v in meta["rowid_to_slot"].items()}
+        table._slot_to_rowid = {v: k for k, v in table._rowid_to_slot.items()}
+        table._max_rowid = meta["max_rowid"]
+        table._next_slot = meta["next_slot"]
+        table._free_slots = list(meta["free_slots"])
+        table._scalar_data = {
+            cname: {int(k): v for k, v in vals.items()}
+            for cname, vals in meta["scalar_data"].items()
+        }
+        for cname, vc in table.vector_cols.items():
+            raw = z[f"raw::{cname}"]
+            cap = raw.shape[0]
+            if cap != vc.config.cap:
+                vc.config = dataclasses.replace(
+                    vc.config,
+                    cap=cap,
+                    cap_u=z[f"graph::{cname}::upper_nodes"].shape[0],
+                )
+            vc.raw = raw.copy()
+            fields = {
+                f: jnp.asarray(z[f"graph::{cname}::{f}"]) for f in _GRAPH_FIELDS
+            }
+            vc.state = GraphState(**fields)
+    return table
