@@ -1,0 +1,125 @@
+"""tpuvec benchmark — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.json): QPS/chip at recall@10 >= 0.95.
+Workload: the reference's 100K x 768D cosine ef-sweep config
+(BASELINE.md config 2; reference claims 2-5 ms/query k=10 at this scale,
+CHANGELOG.md:92-96 — we take the stated-requirement 2.8 ms/query ≈ 357 QPS
+as the single-core baseline, examples/performance_report.rs:247-250).
+
+Environment knobs:
+  TPUVEC_BENCH_N       corpus size (default 100_000)
+  TPUVEC_BENCH_D       dimensions (default 768)
+  TPUVEC_BENCH_Q       query batch (default 256)
+
+Side info (build rate, sweep table) goes to stderr; stdout carries exactly
+the one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpuvec_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from tpuvec.index import HnswParams, bruteforce_knn
+    from tpuvec.index.build import build_graph
+    from tpuvec.index.graph import config_for, prepare_vectors
+    from tpuvec.index.search import search_graph
+    from tpuvec.types import DistanceMetric
+
+    n = int(os.environ.get("TPUVEC_BENCH_N", 100_000))
+    d = int(os.environ.get("TPUVEC_BENCH_D", 768))
+    qn = int(os.environ.get("TPUVEC_BENCH_Q", 256))
+    k = 10
+    baseline_qps = 357.0  # reference ~2.8 ms/query (see module docstring)
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    log(f"corpus {n} x {d} f32 cosine, k={k}, query batch {qn}")
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((qn, d)).astype(np.float32)
+
+    params = HnswParams(m=32, max_m0=64, ef_construction=200, ef_search=128)
+    cfg = config_for(
+        d, metric=DistanceMetric.COSINE, params=params, cap=n
+    )
+    xp = prepare_vectors(cfg, jnp.asarray(x))
+    xp_host = np.asarray(xp)
+
+    t0 = time.time()
+    state = build_graph(cfg, xp_host, max_batch=1024)
+    state.count.block_until_ready()
+    build_s = time.time() - t0
+    log(f"build: {n} vectors in {build_s:.1f}s = {n / build_s:.0f} vec/s")
+
+    qp = prepare_vectors(cfg, jnp.asarray(q))
+    gt_d, gt_i = bruteforce_knn(
+        qp, xp, jnp.ones(n, bool), metric=cfg.graph_metric, k=k,
+        normalized=cfg.normalized,
+    )
+    gt = np.asarray(gt_i)
+
+    def recall(found):
+        hits = sum(
+            len(set(found[b].tolist()) & set(gt[b].tolist())) for b in range(qn)
+        )
+        return hits / (qn * k)
+
+    best = None
+    for ef, n_expand in [(48, 4), (64, 4), (96, 4), (128, 4), (192, 4), (256, 4)]:
+        d_h, i_h = search_graph(cfg, state, qp, k=k, ef=ef, n_expand=n_expand)
+        i_h.block_until_ready()  # compile
+        reps = 5
+        t0 = time.time()
+        for _ in range(reps):
+            d_h, i_h = search_graph(cfg, state, qp, k=k, ef=ef, n_expand=n_expand)
+        i_h.block_until_ready()
+        dt = (time.time() - t0) / reps
+        qps = qn / dt
+        r = recall(np.asarray(i_h))
+        log(f"ef={ef:4d} E={n_expand} recall@10={r:.4f} {dt * 1e3:7.2f} ms/batch {qps:9.0f} QPS")
+        if r >= 0.95 and (best is None or qps > best[0]):
+            best = (qps, r, ef)
+
+    if best is None:
+        log("WARNING: no ef reached recall 0.95; reporting highest-recall point")
+        d_h, i_h = search_graph(cfg, state, qp, k=k, ef=512, n_expand=4)
+        i_h.block_until_ready()
+        t0 = time.time()
+        for _ in range(3):
+            d_h, i_h = search_graph(cfg, state, qp, k=k, ef=512, n_expand=4)
+        i_h.block_until_ready()
+        qps = qn / ((time.time() - t0) / 3)
+        best = (qps, recall(np.asarray(i_h)), 512)
+
+    qps, r, ef = best
+    print(
+        json.dumps(
+            {
+                "metric": f"QPS/chip at recall@10>={r:.3f} ({n}x{d} f32 cosine, ef={ef}); build {n / build_s:.0f} vec/s",
+                "value": round(qps, 1),
+                "unit": "QPS",
+                "vs_baseline": round(qps / baseline_qps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
+# The axon plugin pre-imports jax at interpreter startup, so JAX_PLATFORMS
+# from os.environ is already baked in — override through the config instead.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/tpuvec_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

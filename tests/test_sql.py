@@ -1,0 +1,224 @@
+"""SQL surface tests, mirroring the reference's integration suite shapes
+(tests/integration_test.rs: CREATE VIRTUAL TABLE / INSERT with vec_f32 /
+MATCH + k KNN / UPDATE / DELETE / DROP) and the scalar function unit
+coverage (src/sql_functions.rs)."""
+
+import json
+import sqlite3
+
+import numpy as np
+import pytest
+
+from tpuvec.sql import connect, register_all
+from tpuvec.sql import functions as F
+from tpuvec.sql.ddl import parse_create_vtab, split_args
+from tpuvec.types import DistanceMetric, IndexQuantization, IndexType, VectorType
+
+
+def f32blob(vals):
+    return np.asarray(vals, dtype="<f4").tobytes()
+
+
+class TestScalarFunctions:
+    def test_constructors(self):
+        assert F.vec_f32("[1.0, 2.0]") == f32blob([1, 2])
+        assert F.vec_f32(f32blob([3, 4])) == f32blob([3, 4])
+        assert F.vec_int8("[1, -2]") == bytes([1, 254])
+        assert F.vec_bit("[1, 0, 1, 1, 0, 0, 0, 0]") == bytes([0b00001101])
+
+    def test_distances(self):
+        a, b = f32blob([1, 2, 3]), f32blob([4, 5, 6])
+        assert abs(F.vec_distance_l2(a, b) - np.sqrt(27)) < 1e-6
+        assert abs(F.vec_distance_l1(a, b) - 9.0) < 1e-6
+        assert abs(F.vec_distance_cosine(a, a)) < 1e-6
+        assert F.vec_distance_hamming(bytes([0xFF]), bytes([0x0F])) == 4.0
+
+    def test_introspection_sniffing(self):
+        assert F.vec_length(f32blob([1, 2, 3])) == 3
+        assert F.vec_type(f32blob([1, 2, 3])) == "float32"
+        assert F.vec_length(bytes([1, 2, 3])) == 3  # not /4 -> int8
+        assert F.vec_type(bytes([1, 2, 3])) == "int8"
+        assert json.loads(F.vec_to_json(f32blob([1.5, -2.0]))) == [1.5, -2.0]
+
+    def test_math(self):
+        assert F.vec_add(f32blob([1, 2]), f32blob([3, 4])) == f32blob([4, 6])
+        assert F.vec_sub(f32blob([1, 2]), f32blob([3, 4])) == f32blob([-2, -2])
+        out = np.frombuffer(F.vec_normalize(f32blob([3, 4])), dtype="<f4")
+        np.testing.assert_allclose(out, [0.6, 0.8], rtol=1e-6)
+        assert F.vec_slice(f32blob([1, 2, 3, 4]), 1, 3) == f32blob([2, 3])
+
+    def test_quantize(self):
+        q = np.frombuffer(F.vec_quantize_int8(f32blob([0.0, 1.0])), dtype=np.int8)
+        assert list(q) == [-128, 127]
+        b = F.vec_quantize_binary(f32blob([1.0, 2.0, 3.0, 4.0]))
+        assert b == bytes([0b00001100])
+
+    def test_version_and_debug(self):
+        assert F.vec_version().startswith("tpuvec ")
+        info = json.loads(F.vec_debug())
+        assert "backend" in info
+
+    def test_register_on_stdlib_sqlite(self):
+        conn = sqlite3.connect(":memory:")
+        register_all(conn)
+        (v,) = conn.execute("SELECT vec_length(vec_f32('[1,2,3]'))").fetchone()
+        assert v == 3
+        (d,) = conn.execute(
+            "SELECT vec_distance_l2(vec_f32('[0,0]'), vec_f32('[3,4]'))"
+        ).fetchone()
+        assert abs(d - 5.0) < 1e-6
+
+
+class TestDdl:
+    def test_split_args(self):
+        args = split_args("a float[4] hnsw(M=8, distance=l2), b TEXT, type=enn")
+        assert len(args) == 3
+
+    def test_parse_full(self):
+        out = parse_create_vtab(
+            """CREATE VIRTUAL TABLE docs USING vec0(
+                emb float[768] hnsw(M=64, ef_construction=200,
+                                    index_quantization=int8, distance=l2),
+                user_id INTEGER PARTITION KEY,
+                +payload TEXT,
+                label TEXT,
+                chunk_size=1024
+            )"""
+        )
+        name, cols, index_type = out
+        assert name == "docs"
+        assert index_type is IndexType.HNSW
+        emb = cols[0]
+        assert emb.kind == "vector" and emb.dimensions == 768
+        assert emb.vec_type is VectorType.FLOAT32
+        assert emb.metric is DistanceMetric.L2
+        assert emb.hnsw and emb.params.m == 64 and emb.params.ef_construction == 200
+        assert emb.quantization is IndexQuantization.INT8
+        kinds = [c.kind for c in cols]
+        assert kinds == ["vector", "partition", "aux", "metadata"]
+
+    def test_default_metric_cosine_and_no_hnsw(self):
+        _, cols, _ = parse_create_vtab(
+            "CREATE VIRTUAL TABLE t USING vec0(v float[4])"
+        )
+        assert cols[0].metric is DistanceMetric.COSINE
+        assert not cols[0].hnsw
+
+    def test_enn_type(self):
+        _, _, it = parse_create_vtab(
+            "CREATE VIRTUAL TABLE t USING vec0(v float[4], type=enn)"
+        )
+        assert it is IndexType.ENN
+
+    def test_not_vec0(self):
+        assert parse_create_vtab("CREATE TABLE t(x)") is None
+
+
+class TestDatabase:
+    def make_db(self):
+        db = connect()
+        db.execute(
+            "CREATE VIRTUAL TABLE t USING vec0("
+            "e float[8] hnsw(M=8, ef_construction=32, distance=l2), label TEXT)"
+        )
+        return db
+
+    def test_insert_and_knn(self):
+        db = self.make_db()
+        for i in range(20):
+            v = [float(i)] + [0.0] * 7
+            db.execute(
+                "INSERT INTO t(rowid, e, label) VALUES (?, vec_f32(?), ?)",
+                [i + 1, json.dumps(v), f"L{i}"],
+            )
+        rows = db.execute(
+            "SELECT rowid, distance FROM t WHERE e MATCH ? AND k = 3 ORDER BY distance",
+            [json.dumps([4.9] + [0.0] * 7)],
+        ).fetchall()
+        assert [r[0] for r in rows] == [6, 5, 7]
+        assert abs(rows[0][1] - 0.1) < 1e-4
+
+    def test_blob_and_json_equivalent(self):
+        # reference integration_test.rs:988,1076
+        db = self.make_db()
+        v = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+        db.execute("INSERT INTO t(rowid, e) VALUES (1, vec_f32(?))", [json.dumps(v)])
+        db.execute(
+            "INSERT INTO t(rowid, e) VALUES (2, ?)",
+            [np.asarray(v, dtype="<f4").tobytes()],
+        )
+        r1 = db.execute("SELECT e FROM t WHERE rowid = 1").fetchone()
+        r2 = db.execute("SELECT e FROM t WHERE rowid = 2").fetchone()
+        assert json.loads(r1[0]) == json.loads(r2[0]) == v
+
+    def test_select_star_and_rowid(self):
+        db = self.make_db()
+        db.execute(
+            "INSERT INTO t(e, label) VALUES (vec_f32('[1,0,0,0,0,0,0,0]'), 'x')"
+        )
+        rows = db.execute("SELECT * FROM t").fetchall()
+        assert len(rows) == 1
+        assert rows[0][0] == 1  # auto rowid
+        row = db.execute("SELECT label FROM t WHERE rowid = 1").fetchone()
+        assert row == ("x",)
+
+    def test_update_delete_drop(self):
+        db = self.make_db()
+        db.execute("INSERT INTO t(rowid, e) VALUES (1, vec_f32('[1,0,0,0,0,0,0,0]'))")
+        db.execute(
+            "UPDATE t SET e = vec_f32('[0,1,0,0,0,0,0,0]') WHERE rowid = 1"
+        )
+        got = json.loads(db.execute("SELECT e FROM t WHERE rowid = 1").fetchone()[0])
+        assert got[1] == 1.0
+        db.execute("DELETE FROM t WHERE rowid = 1")
+        assert db.execute("SELECT rowid FROM t").fetchall() == []
+        db.execute("DROP TABLE t")
+        with pytest.raises(Exception):
+            db.table("t")
+
+    def test_metadata_filter_in_where(self):
+        db = self.make_db()
+        for i in range(12):
+            v = [float(i)] + [0.0] * 7
+            db.execute(
+                "INSERT INTO t(e, label) VALUES (vec_f32(?), ?)",
+                [json.dumps(v), "even" if i % 2 == 0 else "odd"],
+            )
+        rows = db.execute(
+            "SELECT rowid FROM t WHERE e MATCH ? AND k = 3 AND label = ?",
+            [json.dumps([3.8] + [0.0] * 7), "odd"],
+        ).fetchall()
+        got = [r[0] for r in rows]
+        assert got and all(g % 2 == 0 for g in got)  # rowid = i+1, odd i -> even rowid
+
+    def test_rebuild_sql(self):
+        db = self.make_db()
+        for i in range(10):
+            db.execute(
+                "INSERT INTO t(e) VALUES (vec_f32(?))",
+                [json.dumps([float(i)] + [0.0] * 7)],
+            )
+        db.execute("SELECT vec_rebuild_hnsw('t', 'e', 4, 32)")
+        assert db.integrity_check("t") == []
+        rows = db.execute(
+            "SELECT rowid FROM t WHERE e MATCH ? AND k = 1",
+            [json.dumps([7.1] + [0.0] * 7)],
+        ).fetchall()
+        assert rows[0][0] == 8
+
+    def test_rebuild_validation(self):
+        db = self.make_db()
+        db.execute("INSERT INTO t(e) VALUES (vec_f32('[1,0,0,0,0,0,0,0]'))")
+        with pytest.raises(Exception):
+            db.execute("SELECT vec_rebuild_hnsw('t', 'e', 1, 32)")  # M < 2
+        with pytest.raises(Exception):
+            db.execute("SELECT vec_rebuild_hnsw('t', 'e', 8, 5000)")  # ef_c > 2000
+
+    def test_plain_sqlite_passthrough(self):
+        db = self.make_db()
+        db.execute("CREATE TABLE plain(x INTEGER)")
+        db.execute("INSERT INTO plain(x) VALUES (41)")
+        (v,) = db.execute("SELECT x + 1 FROM plain").fetchone()
+        assert v == 42
+        (ver,) = db.execute("SELECT vec_version()").fetchone()
+        assert ver.startswith("tpuvec ")

@@ -1,0 +1,203 @@
+"""VecTable + snapshot tests, mirroring the reference integration suite
+(tests/integration_test.rs: create/insert/select/update/delete, multi
+vector columns, auto-rowid, persistence across connections, KNN via MATCH)
+and test_disk_persistence.rs."""
+
+import numpy as np
+import pytest
+
+from tpuvec.index.params import HnswParams
+from tpuvec.store import ColumnSpec, VecTable
+from tpuvec.store.snapshot import load, save
+from tpuvec.types import (
+    DimensionMismatch,
+    DistanceMetric,
+    IndexType,
+    InvalidState,
+    VectorType,
+)
+
+PARAMS = HnswParams(m=8, max_m0=16, ef_construction=64, ef_search=64)
+
+
+def small_table(name="t", hnsw=True, extra=(), d=32):
+    cols = [
+        ColumnSpec.vector(
+            "emb", d, metric=DistanceMetric.L2, hnsw=hnsw, params=PARAMS
+        )
+    ] + list(extra)
+    return VecTable(name, cols, initial_cap=128)
+
+
+def rand_rows(rng, n, d=32):
+    return rng.standard_normal((n, d)).astype(np.float32)
+
+
+class TestCrud:
+    def test_insert_auto_rowid(self, rng):
+        t = small_table()
+        x = rand_rows(rng, 3)
+        ids = [t.insert({"emb": x[i]}) for i in range(3)]
+        assert ids == [1, 2, 3]  # next_rowid = max + 1
+        assert len(t) == 3
+
+    def test_insert_explicit_rowid_and_mix(self, rng):
+        t = small_table()
+        x = rand_rows(rng, 3)
+        assert t.insert({"emb": x[0]}, rowid=10) == 10
+        assert t.insert({"emb": x[1]}) == 11
+        with pytest.raises(InvalidState):
+            t.insert({"emb": x[2]}, rowid=10)
+
+    def test_dimension_check(self, rng):
+        t = small_table()
+        with pytest.raises(DimensionMismatch):
+            t.insert({"emb": np.zeros(16, np.float32)})
+
+    def test_row_roundtrip(self, rng):
+        t = small_table(extra=[ColumnSpec.metadata("label")])
+        x = rand_rows(rng, 2)
+        t.insert({"emb": x[0], "label": "a"})
+        t.insert({"emb": x[1], "label": "b"})
+        row = t.row(1)
+        np.testing.assert_allclose(row["emb"].as_f32(), x[0], rtol=1e-6)
+        assert row["label"] == "a"
+
+    def test_update(self, rng):
+        t = small_table(extra=[ColumnSpec.metadata("label")])
+        x = rand_rows(rng, 2)
+        t.insert({"emb": x[0], "label": "a"}, rowid=1)
+        t.update(1, {"emb": x[1]})
+        row = t.row(1)
+        np.testing.assert_allclose(row["emb"].as_f32(), x[1], rtol=1e-6)
+        assert row["label"] == "a"  # untouched scalar survives
+        # the index follows the update
+        res = t.knn("emb", x[1], k=1)
+        assert res[0].rowid == 1 and res[0].distance < 1e-3
+
+    def test_delete(self, rng):
+        t = small_table()
+        x = rand_rows(rng, 4)
+        for i in range(4):
+            t.insert({"emb": x[i]})
+        t.delete(2)
+        assert len(t) == 3
+        with pytest.raises(InvalidState):
+            t.row(2)
+        ids = {r.rowid for r in t.knn("emb", x[1], k=4)}
+        assert 2 not in ids
+
+    def test_knn_self_hit(self, rng):
+        t = small_table()
+        x = rand_rows(rng, 50)
+        t.insert_many([{"emb": v} for v in x])
+        for probe in (0, 13, 49):
+            res = t.knn("emb", x[probe], k=3)
+            assert res[0].rowid == probe + 1
+            assert res[0].distance < 1e-3
+
+    def test_knn_enn_matches_hnsw(self, rng):
+        t = small_table()
+        x = rand_rows(rng, 60)
+        t.insert_many([{"emb": v} for v in x])
+        q = rand_rows(rng, 1)[0]
+        a = [r.rowid for r in t.knn("emb", q, k=5)]
+        b = [r.rowid for r in t.knn("emb", q, k=5, exact=True)]
+        assert set(a) & set(b), "hnsw and exact disagree entirely"
+        assert a[0] == b[0]
+
+    def test_capacity_growth(self, rng):
+        t = small_table()
+        assert t.cap == 128
+        x = rand_rows(rng, 200)
+        t.insert_many([{"emb": v} for v in x])
+        assert t.cap >= 256
+        res = t.knn("emb", x[150], k=1)
+        assert res[0].rowid == 151
+
+
+class TestFilters:
+    def test_partition_filter(self, rng):
+        t = small_table(
+            extra=[ColumnSpec.partition_key("tenant")],
+        )
+        x = rand_rows(rng, 40)
+        for i in range(40):
+            t.insert({"emb": x[i], "tenant": i % 4})
+        res = t.knn("emb", x[0], k=5, partition=1)
+        assert res, "no results for partition"
+        for r in res:
+            assert t.row(r.rowid)["tenant"] == 1
+
+    def test_metadata_predicate(self, rng):
+        t = small_table(extra=[ColumnSpec.metadata("cat")])
+        x = rand_rows(rng, 30)
+        for i in range(30):
+            t.insert({"emb": x[i], "cat": "even" if i % 2 == 0 else "odd"})
+        res = t.knn("emb", x[1], k=4, predicate=lambda rid, v: v["cat"] == "odd")
+        assert res
+        for r in res:
+            assert t.row(r.rowid)["cat"] == "odd"
+
+    def test_selective_filter_falls_back_exact(self, rng):
+        t = small_table(extra=[ColumnSpec.metadata("cat")])
+        x = rand_rows(rng, 50)
+        for i in range(50):
+            t.insert({"emb": x[i], "cat": i})
+        # only one row matches
+        res = t.knn("emb", x[0], k=3, predicate=lambda rid, v: v["cat"] == 37)
+        assert len(res) == 1 and res[0].rowid == 38
+
+
+class TestMaintenance:
+    def test_integrity_ok(self, rng):
+        t = small_table()
+        t.insert_many([{"emb": v} for v in rand_rows(rng, 20)])
+        assert t.integrity_check() == []
+
+    def test_rebuild(self, rng):
+        t = small_table()
+        x = rand_rows(rng, 60)
+        t.insert_many([{"emb": v} for v in x])
+        t.rebuild("emb", params=HnswParams(m=4, max_m0=8, ef_construction=32, ef_search=32))
+        assert t.integrity_check() == []
+        res = t.knn("emb", x[10], k=1)
+        assert res[0].rowid == 11
+
+    def test_multi_vector_columns(self, rng):
+        t = VecTable(
+            "mv",
+            [
+                ColumnSpec.vector("a", 16, metric=DistanceMetric.L2, params=PARAMS),
+                ColumnSpec.vector("b", 24, metric=DistanceMetric.L2, params=PARAMS),
+            ],
+            initial_cap=128,
+        )
+        xa = rand_rows(rng, 20, 16)
+        xb = rand_rows(rng, 20, 24)
+        for i in range(20):
+            t.insert({"a": xa[i], "b": xb[i]})
+        assert t.knn("a", xa[5], k=1)[0].rowid == 6
+        assert t.knn("b", xb[7], k=1)[0].rowid == 8
+
+
+class TestSnapshot:
+    def test_roundtrip(self, rng, tmp_path):
+        t = small_table(extra=[ColumnSpec.metadata("label")])
+        x = rand_rows(rng, 40)
+        for i in range(40):
+            t.insert({"emb": x[i], "label": f"row{i}"})
+        before = [(r.rowid, round(r.distance, 4)) for r in t.knn("emb", x[3], k=5)]
+
+        path = str(tmp_path / "snap.npz")
+        save(t, path)
+        t2 = load(path)
+        assert len(t2) == 40
+        assert t2.row(4)["label"] == "row3"
+        np.testing.assert_allclose(t2.row(4)["emb"].as_f32(), x[3], rtol=1e-6)
+        after = [(r.rowid, round(r.distance, 4)) for r in t2.knn("emb", x[3], k=5)]
+        assert before == after
+        # restored table accepts further writes
+        t2.insert({"emb": rand_rows(rng, 1)[0], "label": "new"})
+        assert len(t2) == 41
+        assert t2.integrity_check() == []

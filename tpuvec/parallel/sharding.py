@@ -1,0 +1,296 @@
+"""Corpus sharding over a TPU mesh.
+
+The reference is single-node: its only sharding concepts are partition keys
+(parsed but unimplemented, src/vtab.rs:854-859 + README.md:467) and
+thread-per-connection WAL concurrency (tests/test_multithread_stress.rs).
+The TPU-native scale-out axis is the device mesh:
+
+* every device holds an independent HNSW sub-index over its slice of the
+  corpus (GraphState leaves stacked with a leading shard dim, laid out with
+  NamedSharding(P("shard")) so each shard's arrays live on its device);
+* inserts route to shards (partition-key affinity when a partition column
+  exists — one tenant's rows co-locate, so a filtered query touches one
+  shard — otherwise round-robin) and run as one shard_map'd insert_batch:
+  every device builds its sub-graph in the same SPMD program;
+* queries replicate across the mesh, each shard runs the batched beam
+  search locally, and the per-shard top-k merge is a single jnp.top_k over
+  the shard axis — XLA lowers the re-layout to an all-gather over ICI.
+
+Local slot ids map to global ids as shard * cap + slot.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from tpuvec.index.build import insert_batch, plan_batch_sizes
+from tpuvec.index.graph import (
+    GraphState,
+    HnswConfig,
+    allocate,
+    config_for,
+    prepare_vectors,
+)
+from tpuvec.index.params import HnswParams
+from tpuvec.index.search import search_graph
+from tpuvec.ops.distance import internal_to_output
+from tpuvec.ops.topk import topk_smallest
+from tpuvec.utils.prng import sample_levels, sample_levels_np
+
+__all__ = ["ShardedHnsw", "make_mesh"]
+
+_INF = jnp.float32(jnp.inf)
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _stack_states(states: list[GraphState]) -> GraphState:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+@partial(jax.jit, static_argnames=("config", "mesh", "k", "ef", "n_expand"))
+def _sharded_search(
+    config: HnswConfig,
+    mesh: Mesh,
+    stacked: GraphState,
+    q: jnp.ndarray,
+    *,
+    k: int,
+    ef: int | None,
+    n_expand: int = 1,
+):
+    """All-shard search + top-k merge. q [B, Dp] replicated."""
+
+    def local(state_s: GraphState, q_l: jnp.ndarray):
+        state = jax.tree.map(lambda a: a[0], state_s)  # drop local shard dim
+        d, i = search_graph(config, state, q_l, k=k, ef=ef, n_expand=n_expand)
+        shard = jax.lax.axis_index("shard").astype(jnp.int32)
+        gi = jnp.where(i >= 0, shard * config.cap + i, -1)
+        return d[None], gi[None]
+
+    d, gi = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("shard"), P()),
+        out_specs=P("shard"),
+        check_vma=False,  # while_loop carries are legitimately unvarying
+    )(stacked, q)
+    # d, gi: [S, B, k] -> merge over shards (XLA all-gathers over ICI)
+    s, b, _ = d.shape
+    d_all = jnp.transpose(d, (1, 0, 2)).reshape(b, s * k)
+    i_all = jnp.transpose(gi, (1, 0, 2)).reshape(b, s * k)
+    return topk_smallest(d_all, i_all, k)
+
+
+@partial(jax.jit, static_argnames=("config", "mesh"), donate_argnames=("stacked",))
+def _sharded_insert(
+    config: HnswConfig,
+    mesh: Mesh,
+    stacked: GraphState,
+    ids: jnp.ndarray,     # [S, nb] local slot ids, -1 pad
+    vecs: jnp.ndarray,    # [S, nb, Dp]
+    levels: jnp.ndarray,  # [S, nb]
+) -> GraphState:
+    def local(state_s, ids_l, vecs_l, lv_l):
+        state = jax.tree.map(lambda a: a[0], state_s)
+        out = insert_batch(config, state, ids_l[0], vecs_l[0], lv_l[0])
+        return jax.tree.map(lambda a: a[None], out)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("shard"), P("shard"), P("shard"), P("shard")),
+        out_specs=P("shard"),
+        check_vma=False,
+    )(stacked, ids, vecs, levels)
+
+
+class ShardedHnsw:
+    """A partitioned HNSW index across a device mesh.
+
+    >>> mesh = make_mesh()
+    >>> idx = ShardedHnsw(mesh, dim=64, metric=DistanceMetric.L2)
+    >>> idx.add(vectors, partitions=tenant_ids)
+    >>> dists, global_ids = idx.search(queries, k=10)
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        dim: int,
+        *,
+        metric,
+        params: HnswParams | None = None,
+        cap_per_shard: int = 4096,
+        quantization=None,
+        vec_type=None,
+    ):
+        from tpuvec.types import IndexQuantization, VectorType
+
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.n_shards = mesh.devices.size
+        self.config = config_for(
+            dim,
+            metric=metric,
+            vec_type=vec_type or VectorType.FLOAT32,
+            quantization=quantization or IndexQuantization.NONE,
+            params=params,
+            cap=cap_per_shard,
+        )
+        states = [allocate(self.config) for _ in range(self.n_shards)]
+        stacked = _stack_states(states)
+        sharding = NamedSharding(mesh, P(self.axis))
+        self.stacked = jax.tree.map(
+            lambda a: jax.device_put(
+                a, sharding if a.ndim >= 1 else NamedSharding(mesh, P())
+            ),
+            stacked,
+        )
+        self._counts = np.zeros(self.n_shards, dtype=np.int64)
+        self._rr = 0  # round-robin pointer
+        # partition value per (shard, slot): several tenants can hash to one
+        # shard, so partition queries still filter exactly within the shard
+        self._part_values = np.full((self.n_shards, self.config.cap), None, dtype=object)
+
+    # ---------------------------------------------------------------- #
+
+    def shard_of_partition(self, partition) -> int:
+        # stable across processes (Python's hash() is salted per run)
+        import zlib
+
+        return zlib.crc32(repr(partition).encode()) % self.n_shards
+
+    def _assign(self, n: int, partitions) -> np.ndarray:
+        if partitions is not None:
+            return np.array(
+                [self.shard_of_partition(p) for p in partitions], dtype=np.int64
+            )
+        out = (np.arange(n) + self._rr) % self.n_shards
+        self._rr = int((self._rr + n) % self.n_shards)
+        return out
+
+    def add(
+        self,
+        vectors: np.ndarray,
+        *,
+        partitions=None,
+        batch: int = 256,
+    ) -> np.ndarray:
+        """Insert vectors; returns global ids [n]. Vectors are raw (will be
+        prepared); partitions optionally routes rows to shards."""
+        n = vectors.shape[0]
+        shard_ix = self._assign(n, partitions)
+        prepared = np.asarray(prepare_vectors(self.config, jnp.asarray(vectors)))
+        # per-shard local slot assignment
+        global_ids = np.empty(n, dtype=np.int64)
+        per_shard: list[list[int]] = [[] for _ in range(self.n_shards)]
+        for row, s in enumerate(shard_ix):
+            slot = self._counts[s] + len(per_shard[s])
+            if slot >= self.config.cap:
+                raise RuntimeError(
+                    f"shard {s} over capacity ({self.config.cap}); "
+                    "raise cap_per_shard"
+                )
+            per_shard[s].append(row)
+            global_ids[row] = s * self.config.cap + slot
+            if partitions is not None:
+                self._part_values[s, slot] = partitions[row]
+
+        # interleave into fixed-shape rounds (same schedule on every shard)
+        max_rows = max(len(rows) for rows in per_shard)
+        pos = [0] * self.n_shards
+        for take in plan_batch_sizes(max_rows, batch):
+            ids = np.full((self.n_shards, batch), -1, dtype=np.int32)
+            vecs = np.zeros(
+                (self.n_shards, batch, prepared.shape[1]), dtype=prepared.dtype
+            )
+            for s in range(self.n_shards):
+                rows = per_shard[s][pos[s] : pos[s] + take]
+                pos[s] += len(rows)
+                for j, row in enumerate(rows):
+                    ids[s, j] = self._counts[s]
+                    self._counts[s] += 1
+                    vecs[s, j] = prepared[row]
+            levels = sample_levels_np(
+                np.maximum(ids, 0).astype(np.int32).ravel(),
+                self.config.rng_seed,
+                self.config.level_factor,
+                self.config.lu,
+            ).reshape(ids.shape)
+            self.stacked = _sharded_insert(
+                self.config,
+                self.mesh,
+                self.stacked,
+                jnp.asarray(ids),
+                jnp.asarray(vecs),
+                jnp.asarray(levels),
+            )
+        return global_ids
+
+    def search(
+        self,
+        queries: np.ndarray,
+        *,
+        k: int,
+        ef: int | None = None,
+        n_expand: int = 1,
+        partition=None,
+    ):
+        """KNN across all shards (or one shard when partition is given).
+
+        Returns (dists [B, k] user metric, global_ids [B, k])."""
+        qp = prepare_vectors(self.config, jnp.asarray(queries))
+        if partition is not None:
+            s = self.shard_of_partition(partition)
+            state = jax.tree.map(lambda a: a[s], self.stacked)
+            # over-fetch, then filter to the exact partition (tenants can
+            # share a shard); fall back to exact masked scan if underfilled
+            fetch = max(4 * k, k + 32)
+            d, i = search_graph(
+                self.config, state, qp, k=fetch, ef=max(ef or 0, fetch), n_expand=n_expand
+            )
+            dn, inn = np.asarray(d), np.asarray(i)
+            ok = np.zeros_like(inn, dtype=bool)
+            for b in range(inn.shape[0]):
+                for j, slot in enumerate(inn[b]):
+                    ok[b, j] = slot >= 0 and self._part_values[s, slot] == partition
+            member = self._part_values[s] == partition
+            short = ok.sum(axis=1).min() < min(k, int(member.sum()))
+            if short:
+                from tpuvec.index.bruteforce import bruteforce_knn_internal
+
+                d, i = bruteforce_knn_internal(
+                    qp,
+                    state.vectors,
+                    jnp.asarray(member),
+                    metric=self.config.graph_metric,
+                    k=k,
+                    normalized=self.config.normalized,
+                )
+            else:
+                dn = np.where(ok, dn, np.inf)
+                inn = np.where(ok, inn, -1)
+                order = np.argsort(dn, axis=1, kind="stable")[:, :k]
+                d = jnp.asarray(np.take_along_axis(dn, order, 1))
+                i = jnp.asarray(np.take_along_axis(inn, order, 1))
+            gi = jnp.where(i >= 0, s * self.config.cap + i, -1)
+        else:
+            d, gi = _sharded_search(
+                self.config, self.mesh, self.stacked, qp, k=k, ef=ef, n_expand=n_expand
+            )
+        out = internal_to_output(
+            self.config.metric, d, normalized=self.config.normalized
+        )
+        return jnp.where(jnp.isfinite(d), out, _INF), gi

@@ -250,7 +250,7 @@ class VecTable:
 
     def __len__(self) -> int:
         with self._lock:
-            return len(self._rowid_to_slot) + len(self._pending)
+            return len(self._rowid_to_slot)  # pending rows are mapped already
 
     def next_rowid(self) -> int:
         """Auto rowid = max + 1 (reference src/shadow.rs:888-900)."""
@@ -339,7 +339,13 @@ class VecTable:
         return out
 
     def flush(self) -> None:
-        """Push buffered inserts into the device indexes (padded batches)."""
+        """Push buffered inserts into the device indexes.
+
+        Inserts go in mini-batches no larger than the graph they land in
+        (doubling schedule — batch members don't see each other, so an
+        unbounded batch into a small graph would leave nodes isolated),
+        padded to one of two fixed shapes (16 / _FLUSH_THRESHOLD) so jit
+        compiles at most two insert programs per config."""
         with self._lock:
             if not self._pending:
                 return
@@ -347,32 +353,36 @@ class VecTable:
             self._pending = []
             self._ensure_capacity()
             slots = np.array([p[1] for p in pend], dtype=np.int32)
+            graph_size = len(self._rowid_to_slot) - len(pend)
             for cname, vc in self.vector_cols.items():
                 raws = np.stack([p[2][cname].to_numpy() for p in pend])
                 if vc.spec.vec_type is VectorType.BIT:
                     raws = pack_bits(raws)
                 vc.raw[slots] = raws
-                # index copy; batch padded to one of two fixed shapes so jit
-                # compiles at most two insert programs per config
                 prepared = self._prepare_batch(vc, pend)
-                nb = 16 if len(pend) <= 16 else _FLUSH_THRESHOLD
-                ids = np.full(nb, -1, dtype=np.int32)
-                ids[: len(pend)] = slots
-                pv = np.zeros((nb, prepared.shape[1]), dtype=prepared.dtype)
-                pv[: len(pend)] = prepared
-                levels = sample_levels_np(
-                    np.maximum(ids, 0),
-                    vc.config.rng_seed,
-                    vc.config.level_factor,
-                    vc.config.lu,
-                )
-                vc.state = insert_batch(
-                    vc.config,
-                    vc.state,
-                    jnp.asarray(ids),
-                    jnp.asarray(pv),
-                    jnp.asarray(levels),
-                )
+                pos, size = 0, graph_size
+                while pos < len(pend):
+                    take = min(max(size, 1), _FLUSH_THRESHOLD, len(pend) - pos)
+                    nb = 16 if take <= 16 else _FLUSH_THRESHOLD
+                    ids = np.full(nb, -1, dtype=np.int32)
+                    ids[:take] = slots[pos : pos + take]
+                    pv = np.zeros((nb, prepared.shape[1]), dtype=prepared.dtype)
+                    pv[:take] = prepared[pos : pos + take]
+                    levels = sample_levels_np(
+                        np.maximum(ids, 0),
+                        vc.config.rng_seed,
+                        vc.config.level_factor,
+                        vc.config.lu,
+                    )
+                    vc.state = insert_batch(
+                        vc.config,
+                        vc.state,
+                        jnp.asarray(ids),
+                        jnp.asarray(pv),
+                        jnp.asarray(levels),
+                    )
+                    pos += take
+                    size += take
 
     def _prepare_batch(self, vc: _VectorColumn, pend) -> np.ndarray:
         c = vc.config
