@@ -51,9 +51,10 @@ def main() -> None:
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     log(f"corpus {n} x {d} f32 cosine, k={k}, query batch {qn}")
 
-    rng = np.random.default_rng(0)
-    x = rng.standard_normal((n, d)).astype(np.float32)
-    q = rng.standard_normal((qn, d)).astype(np.float32)
+    from tpuvec.utils.data import synthetic_embeddings
+
+    data = synthetic_embeddings(n + qn, d, seed=0)
+    x, q = data[:n], data[n:]
 
     params = HnswParams(m=32, max_m0=64, ef_construction=200, ef_search=128)
     cfg = config_for(
@@ -82,7 +83,7 @@ def main() -> None:
         return hits / (qn * k)
 
     best = None
-    for ef, n_expand in [(48, 4), (64, 4), (96, 4), (128, 4), (192, 4), (256, 4)]:
+    for ef, n_expand in [(16, 1), (24, 1), (32, 1), (48, 1), (64, 1), (96, 1), (128, 1)]:
         d_h, i_h = search_graph(cfg, state, qp, k=k, ef=ef, n_expand=n_expand)
         i_h.block_until_ready()  # compile
         reps = 5
@@ -99,14 +100,14 @@ def main() -> None:
 
     if best is None:
         log("WARNING: no ef reached recall 0.95; reporting highest-recall point")
-        d_h, i_h = search_graph(cfg, state, qp, k=k, ef=512, n_expand=4)
+        d_h, i_h = search_graph(cfg, state, qp, k=k, ef=256, n_expand=1)
         i_h.block_until_ready()
         t0 = time.time()
         for _ in range(3):
-            d_h, i_h = search_graph(cfg, state, qp, k=k, ef=512, n_expand=4)
+            d_h, i_h = search_graph(cfg, state, qp, k=k, ef=256, n_expand=1)
         i_h.block_until_ready()
         qps = qn / ((time.time() - t0) / 3)
-        best = (qps, recall(np.asarray(i_h)), 512)
+        best = (qps, recall(np.asarray(i_h)), 256)
 
     qps, r, ef = best
     print(

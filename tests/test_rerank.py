@@ -1,0 +1,79 @@
+"""Binary-quantized index + f32 rerank tests (BASELINE config 4 path)."""
+
+import numpy as np
+
+from tpuvec.index.params import HnswParams
+from tpuvec.store import ColumnSpec, VecTable
+from tpuvec.types import DistanceMetric, IndexQuantization
+from tpuvec.utils.data import synthetic_embeddings
+
+PARAMS = HnswParams(m=8, max_m0=16, ef_construction=64, ef_search=64)
+
+
+def make_table(metric=DistanceMetric.COSINE):
+    return VecTable(
+        "bin",
+        [
+            ColumnSpec.vector(
+                "emb",
+                64,
+                metric=metric,
+                params=PARAMS,
+                quantization=IndexQuantization.BINARY,
+            )
+        ],
+        initial_cap=512,
+    )
+
+
+def test_binary_rerank_recall():
+    x = synthetic_embeddings(400, 64, intrinsic_dim=16, n_clusters=32, seed=1)
+    t = make_table()
+    t.insert_many([{"emb": v} for v in x])
+
+    # exact ground truth in f32 cosine
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    hits = total = 0
+    for probe in range(0, 60, 7):
+        q = x[probe]
+        qd = 1 - xn @ (q / np.linalg.norm(q))
+        want = set((np.argsort(qd, kind="stable")[:5] + 1).tolist())
+        got = {r.rowid for r in t.knn("emb", q, k=5)}
+        hits += len(want & got)
+        total += len(want)
+    recall = hits / total
+    assert recall >= 0.9, f"binary+rerank recall@5 = {recall}"
+
+
+def test_rerank_distances_are_exact_metric():
+    x = synthetic_embeddings(200, 64, intrinsic_dim=16, n_clusters=16, seed=2)
+    t = make_table()
+    t.insert_many([{"emb": v} for v in x])
+    q = x[17]
+    res = t.knn("emb", q, k=3)
+    assert res[0].rowid == 18
+    assert res[0].distance < 1e-6  # exact cosine distance of the point itself
+    # reranked distances are true f32 cosine, ascending
+    ds = [r.distance for r in res]
+    assert ds == sorted(ds)
+
+
+def test_rerank_with_filter():
+    x = synthetic_embeddings(200, 64, intrinsic_dim=16, n_clusters=16, seed=3)
+    t = VecTable(
+        "binp",
+        [
+            ColumnSpec.vector(
+                "emb", 64, metric=DistanceMetric.COSINE, params=PARAMS,
+                quantization=IndexQuantization.BINARY,
+            ),
+            ColumnSpec.metadata("group"),
+        ],
+        initial_cap=512,
+    )
+    for i, v in enumerate(x):
+        t.insert({"emb": v, "group": i % 3})
+    res = t.knn("emb", x[0], k=4, predicate=lambda rid, vals: vals["group"] == 2)
+    assert res
+    for r in res:
+        assert t.row(r.rowid)["group"] == 2

@@ -1,0 +1,52 @@
+"""Bitonic sort network tests (tpuvec/ops/sort.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpuvec.ops.sort import bitonic_sort, bitonic_topk_merge
+
+
+@pytest.mark.parametrize("length", [2, 8, 64, 256, 1024])
+def test_sort_matches_numpy(rng, length):
+    k = rng.standard_normal((5, length)).astype(np.float32)
+    v = rng.integers(0, 1 << 20, (5, length)).astype(np.int32)
+    sk, sv = jax.jit(bitonic_sort)(jnp.asarray(k), jnp.asarray(v))
+    order = np.argsort(k, axis=1, kind="stable")
+    np.testing.assert_allclose(np.asarray(sk), np.take_along_axis(k, order, 1))
+    np.testing.assert_array_equal(np.asarray(sv), np.take_along_axis(v, order, 1))
+
+
+def test_sort_with_inf_padding(rng):
+    k = rng.standard_normal((3, 128)).astype(np.float32)
+    k[:, 50:] = np.inf
+    (sk,) = jax.jit(bitonic_sort)(jnp.asarray(k))
+    sk = np.asarray(sk)
+    assert np.all(np.isinf(sk[:, 50:]))
+    assert np.all(np.diff(sk[:, :50], axis=1) >= 0)
+
+
+def test_non_pow2_rejected():
+    with pytest.raises(AssertionError):
+        bitonic_sort(jnp.zeros((2, 96)))
+
+
+def test_merge_keeps_smallest(rng):
+    ef, w = 128, 128
+    bd = np.sort(rng.standard_normal((4, ef)).astype(np.float32), axis=1)
+    bi = rng.integers(0, 9999, (4, ef)).astype(np.int32)
+    bx = rng.random((4, ef)) > 0.5
+    nd = rng.standard_normal((4, w)).astype(np.float32)
+    ni = rng.integers(0, 9999, (4, w)).astype(np.int32)
+    md, mi, mx = jax.jit(bitonic_topk_merge)(
+        *(jnp.asarray(a) for a in (bd, bi, bx, nd, ni))
+    )
+    expect = np.sort(np.concatenate([bd, nd], axis=1), axis=1)[:, :ef]
+    np.testing.assert_allclose(np.asarray(md), expect)
+    # new entrants arrive unexpanded
+    allx = np.concatenate([bx, np.zeros((4, w), bool)], axis=1)
+    alld = np.concatenate([bd, nd], axis=1)
+    order = np.argsort(alld, axis=1, kind="stable")[:, :ef]
+    np.testing.assert_array_equal(np.asarray(mx), np.take_along_axis(allx, order, 1))

@@ -519,7 +519,12 @@ class VecTable:
             mask = self._filter_mask(partition, predicate)
             use_exact = exact if exact is not None else not vc.has_hnsw
 
-            if use_exact or mask is not None and not vc.has_hnsw:
+            if (
+                vc.spec.quantization is IndexQuantization.BINARY
+                and vc.spec.vec_type is VectorType.FLOAT32
+            ):
+                d, i = self._binary_rerank(vc, qv, qp, k, mask, use_exact)
+            elif use_exact or mask is not None and not vc.has_hnsw:
                 d, i = self._exact(vc, qp, k, mask)
             elif mask is not None:
                 # HNSW + filter: over-fetch and post-filter; fall back to
@@ -582,6 +587,49 @@ class VecTable:
         d, i = search_graph(c, vc.state, qp, k=k, ef=ef)
         out = internal_to_output(c.metric, d, normalized=c.normalized)
         return jnp.where(jnp.isfinite(d), out, jnp.inf), i
+
+    def _binary_rerank(self, vc: _VectorColumn, qv: Vector, qp, k, mask, use_exact):
+        """Binary Hamming coarse search + exact f32 rerank.
+
+        The composition the reference has all the pieces for (bit vectors +
+        Hamming + vec_quantize_binary) but never assembles (SURVEY.md §7
+        step 7): the index stores mean-threshold sign bits; a Hamming
+        search over-fetches `coarse_k` candidates; stored f32 originals
+        rerank them in the user metric.
+        """
+        coarse_k = max(8 * k, 64)
+        if use_exact or not vc.has_hnsw:
+            d, i = self._exact(vc, qp, coarse_k, mask)
+        else:
+            d, i = self._hnsw(vc, qp, coarse_k, None)
+            if mask is not None:
+                d, i = self._post_filter(d, i, mask, coarse_k)
+        slots = np.asarray(i)[0]
+        ok = slots >= 0
+        if mask is not None:
+            ok &= mask[np.clip(slots, 0, mask.size - 1)]
+        cand = slots[ok]
+        if cand.size == 0:
+            return np.full((1, k), np.inf, np.float32), np.full((1, k), -1, np.int32)
+        # exact rerank on stored originals (host gather; coarse_k rows)
+        corpus = vc.raw[cand].astype(np.float32)
+        qf = qv.as_f32().astype(np.float32)
+        metric = vc.spec.metric
+        if metric is DistanceMetric.L2:
+            dd = np.sqrt(((corpus - qf) ** 2).sum(-1))
+        elif metric is DistanceMetric.L1:
+            dd = np.abs(corpus - qf).sum(-1)
+        else:  # cosine
+            cn = np.linalg.norm(corpus, axis=-1)
+            qn = np.linalg.norm(qf)
+            denom = np.maximum(cn * qn, 1e-30)
+            dd = 1.0 - corpus @ qf / denom
+        order = np.argsort(dd, kind="stable")[:k]
+        out_d = np.full((1, k), np.inf, np.float32)
+        out_i = np.full((1, k), -1, np.int32)
+        out_d[0, : order.size] = dd[order]
+        out_i[0, : order.size] = cand[order]
+        return out_d, out_i
 
     @staticmethod
     def _post_filter(d, i, mask, k):
