@@ -23,6 +23,8 @@ TPU-native recast of the reference's per-row insert path
 
 from __future__ import annotations
 
+import dataclasses
+
 from functools import partial
 
 import jax
@@ -43,31 +45,43 @@ __all__ = ["insert_batch", "build_graph", "delete_ids", "plan_batch_sizes"]
 _INF = jnp.float32(jnp.inf)
 
 
-def _prune_scan(adj, adj_dist, rows_idx, new_id, new_dist, ok, cap, max_conn):
-    """Merge `new_id` into each adjacency row rows_idx[j] keeping the
-    closest `max_conn` (the reference's prune, insert.rs:144-221).
+def _prune_scan(
+    adj, adj_dist, rows_idx, new_id, new_dist, ok, cap, max_conn, protect=0
+):
+    """Merge `new_id` into each adjacency row rows_idx[j], keeping the
+    closest entries (the reference's prune, insert.rs:144-221) — but only
+    within the row *suffix* beyond `protect` slots.
+
+    The first `protect` slots hold the row owner's heuristic-selected
+    forward edges and are never evicted by reverse-edge churn. Without
+    this, closest-only reverse pruning gradually replaces every row with
+    its local kNN set, deleting the diverse bridge edges and shattering
+    level 0 into micro-components (measured at 100K x 768: only 0.6% of
+    nodes BFS-reachable from the entry point; recall ceiling 0.69).
+    hnswlib prevents the same decay by running the diversity heuristic on
+    shrink; slot protection is the cheap batched equivalent.
 
     adj/adj_dist: [R, max_conn] arrays for this level. rows_idx [M]: rows
     to update; new_id scalar; new_dist [M]; ok [M] mask.
     Returns updated (adj, adj_dist).
     """
-    m = rows_idx.shape[0]
+    keep = max_conn - protect
     safe = jnp.maximum(rows_idx, 0)
-    rows = adj[safe]            # [M, max_conn]
-    rowsd = adj_dist[safe]
+    rows = adj[safe][:, protect:]        # [M, keep]
+    rowsd = adj_dist[safe][:, protect:]
     cat_i = jnp.concatenate(
         [rows, jnp.where(ok, new_id, -1)[:, None]], axis=1
     )
     cat_d = jnp.concatenate(
         [rowsd, jnp.where(ok, new_dist, _INF)[:, None]], axis=1
     )
-    negv, sel = jax.lax.top_k(-cat_d, max_conn)
+    negv, sel = jax.lax.top_k(-cat_d, keep)
     new_rows = jnp.take_along_axis(cat_i, sel, axis=1)
     new_rowsd = -negv
     new_rows = jnp.where(jnp.isfinite(new_rowsd), new_rows, -1)
     tgt = jnp.where(ok, rows_idx, cap)  # out-of-range -> dropped
-    adj = adj.at[tgt].set(new_rows, mode="drop")
-    adj_dist = adj_dist.at[tgt].set(new_rowsd, mode="drop")
+    adj = adj.at[tgt, protect:].set(new_rows, mode="drop")
+    adj_dist = adj_dist.at[tgt, protect:].set(new_rowsd, mode="drop")
     return adj, adj_dist
 
 
@@ -134,24 +148,20 @@ def heuristic_select(
 
 
 @partial(jax.jit, static_argnames=("config",), donate_argnames=("state",))
-def insert_batch(
+def _stage_write(
     config: HnswConfig,
     state: GraphState,
-    new_ids: jnp.ndarray,     # [nb] i32, -1 = padding
-    new_vecs: jnp.ndarray,    # [nb, Dp] already prepared (prepare_vectors)
-    new_levels: jnp.ndarray,  # [nb] i32 (from sample_levels; ignored for pads)
+    new_ids: jnp.ndarray,
+    new_vecs: jnp.ndarray,
+    new_levels: jnp.ndarray,
 ) -> GraphState:
-    """Insert a padded mini-batch of nodes. Pure function of (state, batch)."""
+    """Stage 1: write vectors + levels, allocate compact upper slots."""
     c = config
-    nb = new_ids.shape[0]
     ok_new = new_ids >= 0
-    safe_ids = jnp.maximum(new_ids, 0)
     new_levels = jnp.where(ok_new, jnp.minimum(new_levels, c.lu), -1)
 
-    # ---- 1. write vectors + levels, allocate upper slots -----------------
     tgt = jnp.where(ok_new, new_ids, c.cap)
     vectors = state.vectors.at[tgt].set(new_vecs, mode="drop")
-    levels = state.levels.at[tgt].set(jnp.maximum(new_levels, 0), mode="drop")
 
     is_up = jnp.logical_and(ok_new, new_levels >= 1)
     slot_off = jnp.cumsum(is_up.astype(jnp.int32)) - 1
@@ -160,7 +170,7 @@ def insert_batch(
     slot = jnp.where(overflow, -1, slot)
     # overflowing nodes are demoted to level 0
     new_levels = jnp.where(overflow, 0, new_levels)
-    levels = levels.at[tgt].set(jnp.maximum(new_levels, 0), mode="drop")
+    levels = state.levels.at[tgt].set(jnp.maximum(new_levels, 0), mode="drop")
     upper_slot = state.upper_slot.at[tgt].set(slot, mode="drop")
     upper_nodes = state.upper_nodes.at[
         jnp.where(slot >= 0, slot, c.cap_u)
@@ -168,23 +178,27 @@ def insert_batch(
     upper_count = state.upper_count + jnp.sum(
         jnp.logical_and(is_up, jnp.logical_not(overflow)).astype(jnp.int32)
     )
-
-    state = GraphState(
+    return dataclasses.replace(
+        state,
         vectors=vectors,
-        adj0=state.adj0,
-        adj0_dist=state.adj0_dist,
         levels=levels,
         upper_slot=upper_slot,
         upper_nodes=upper_nodes,
-        upper_adj=state.upper_adj,
-        upper_dist=state.upper_dist,
-        entry_point=state.entry_point,
-        entry_level=state.entry_level,
-        count=state.count,
         upper_count=upper_count,
     )
 
-    # ---- 3. level-0 candidates (batched beam, ef_construction) -----------
+
+def _batch_levels(config: HnswConfig, state: GraphState, new_ids: jnp.ndarray):
+    """Recover the (possibly demoted) levels of this batch from state."""
+    ok_new = new_ids >= 0
+    return jnp.where(ok_new, state.levels[jnp.maximum(new_ids, 0)], -1)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _stage_candidates(config: HnswConfig, state: GraphState, new_vecs: jnp.ndarray):
+    """Stage 2: level-0 candidate beam over the pre-batch graph
+    (ef_construction, insert.rs:410-418)."""
+    c = config
     seed_ids, seed_d = descend_to_level1(config, state, new_vecs)
     efc = max(c.ef_construction, c.max_m0)
     cand_d, cand_i, _ = beam_search_level0(
@@ -197,8 +211,23 @@ def insert_batch(
         max_iters=default_max_iters(efc, 2),
         n_expand=2,
     )
+    return cand_d, cand_i
 
-    # ---- 2. upper-level edges (exact selection over the upper pool) ------
+
+@partial(jax.jit, static_argnames=("config",), donate_argnames=("state",))
+def _stage_upper(
+    config: HnswConfig,
+    state: GraphState,
+    new_ids: jnp.ndarray,
+    new_vecs: jnp.ndarray,
+) -> GraphState:
+    """Stage 3: upper-level edges — exact MXU selection over the compact
+    upper pool + reverse prune."""
+    c = config
+    ok_new = new_ids >= 0
+    new_levels = _batch_levels(config, state, new_ids)
+    slot = jnp.where(ok_new, state.upper_slot[jnp.maximum(new_ids, 0)], -1)
+
     pool_vecs = state.vectors[jnp.maximum(state.upper_nodes, 0)]  # [cap_u, Dp]
     pool_levels = jnp.where(
         state.upper_nodes >= 0, state.levels[jnp.maximum(state.upper_nodes, 0)], -1
@@ -274,22 +303,24 @@ def insert_batch(
             upper_dist,
         )
 
-    state = GraphState(
-        vectors=state.vectors,
-        adj0=state.adj0,
-        adj0_dist=state.adj0_dist,
-        levels=state.levels,
-        upper_slot=state.upper_slot,
-        upper_nodes=state.upper_nodes,
-        upper_adj=upper_adj,
-        upper_dist=upper_dist,
-        entry_point=state.entry_point,
-        entry_level=state.entry_level,
-        count=state.count,
-        upper_count=state.upper_count,
-    )
+    return dataclasses.replace(state, upper_adj=upper_adj, upper_dist=upper_dist)
 
-    # ---- 4. forward level-0 edges (insert.rs:422-430) --------------------
+
+@partial(jax.jit, static_argnames=("config",), donate_argnames=("state",))
+def _stage_connect(
+    config: HnswConfig,
+    state: GraphState,
+    new_ids: jnp.ndarray,
+    cand_d: jnp.ndarray,
+    cand_i: jnp.ndarray,
+) -> GraphState:
+    """Stage 4: level-0 forward selection (diversity heuristic), reverse
+    prune with protected prefix, entry point + count update."""
+    c = config
+    ok_new = new_ids >= 0
+    tgt = jnp.where(ok_new, new_ids, c.cap)
+    new_levels = _batch_levels(config, state, new_ids)
+
     # candidates come from the pre-batch graph so self/batch loops cannot
     # occur by construction; the self mask is defense in depth.
     self_hit = cand_i == new_ids[:, None]
@@ -310,19 +341,22 @@ def insert_batch(
     adj0 = state.adj0.at[tgt].set(fwd_i, mode="drop")
     adj0_dist = state.adj0_dist.at[tgt].set(fwd_d, mode="drop")
 
-    # ---- 5. reverse level-0 edges with prune ------------------------------
+    # reverse level-0 edges with prune
     def rev0_body(carry, inp):
         a, ad = carry
         u, s_i, s_d, u_ok = inp
         ok = jnp.logical_and(jnp.logical_and(s_i >= 0, jnp.isfinite(s_d)), u_ok)
-        a, ad = _prune_scan(a, ad, s_i, u, s_d, ok, c.cap, c.max_m0)
+        # protect the heuristic-selected forward prefix (see _prune_scan)
+        a, ad = _prune_scan(
+            a, ad, s_i, u, s_d, ok, c.cap, c.max_m0, protect=min(c.m, c.max_m0 // 2)
+        )
         return (a, ad), None
 
     (adj0, adj0_dist), _ = jax.lax.scan(
         rev0_body, (adj0, adj0_dist), (new_ids, fwd_i, fwd_d, ok_new)
     )
 
-    # ---- 6. entry point + count ------------------------------------------
+    # entry point + count
     lv_masked = jnp.where(ok_new, new_levels, -1)
     new_max = jnp.max(lv_masked)
     best = new_ids[jnp.argmax(lv_masked)]
@@ -331,20 +365,37 @@ def insert_batch(
     entry_level = jnp.where(upgrade, new_max, state.entry_level)
     count = state.count + jnp.sum(ok_new.astype(jnp.int32))
 
-    return GraphState(
-        vectors=state.vectors,
+    return dataclasses.replace(
+        state,
         adj0=adj0,
         adj0_dist=adj0_dist,
-        levels=state.levels,
-        upper_slot=state.upper_slot,
-        upper_nodes=state.upper_nodes,
-        upper_adj=state.upper_adj,
-        upper_dist=state.upper_dist,
         entry_point=entry_point,
         entry_level=entry_level,
         count=count,
-        upper_count=state.upper_count,
     )
+
+
+def insert_batch(
+    config: HnswConfig,
+    state: GraphState,
+    new_ids: jnp.ndarray,     # [nb] i32, -1 = padding
+    new_vecs: jnp.ndarray,    # [nb, Dp] already prepared (prepare_vectors)
+    new_levels: jnp.ndarray,  # [nb] i32 (from sample_levels; ignored for pads)
+) -> GraphState:
+    """Insert a padded mini-batch of nodes.
+
+    Four separately-jitted stages (write -> candidates -> upper edges ->
+    connect): smaller XLA programs compile minutes faster on the remote
+    TPU compiler and cache independently, at the cost of three extra
+    dispatches per batch (negligible against ~1s batch runtime). The
+    candidate search runs against the pre-batch graph (new upper slots
+    exist but have no in-edges yet, so the beam cannot land on them).
+    """
+    state = _stage_write(config, state, new_ids, new_vecs, new_levels)
+    cand_d, cand_i = _stage_candidates(config, state, new_vecs)
+    state = _stage_upper(config, state, new_ids, new_vecs)
+    state = _stage_connect(config, state, new_ids, cand_d, cand_i)
+    return state
 
 
 def plan_batch_sizes(total: int, max_batch: int = 1024) -> list[int]:
