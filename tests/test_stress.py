@@ -32,13 +32,18 @@ def test_threaded_insert_and_search():
     t.insert_many([{"emb": v} for v in x[:100]])
 
     errors: list[Exception] = []
+    inserted: dict[int, int] = {}  # rowid -> index into x
+    ins_lock = threading.Lock()
     n_writers, n_readers = 4, 4
     per_writer = 100
 
     def writer(wid: int):
         try:
             for j in range(per_writer):
-                t.insert({"emb": x[100 + wid * per_writer + j]})
+                idx = 100 + wid * per_writer + j
+                rid = t.insert({"emb": x[idx]})
+                with ins_lock:
+                    inserted[rid] = idx
         except Exception as e:  # noqa: BLE001
             errors.append(e)
 
@@ -65,9 +70,11 @@ def test_threaded_insert_and_search():
     assert not errors, errors
     t.flush()
     assert len(t) == 100 + n_writers * per_writer
+    assert len(inserted) == n_writers * per_writer  # all rowids distinct
     assert t.integrity_check() == []
+    # auto-rowids interleave across writers; verify by the recorded mapping:
     # every inserted row is findable as its own nearest neighbor
-    for probe in (0, 250, 499):
-        rid = probe + 1
-        res = t.knn("emb", x[probe], k=1)
+    for rid in list(inserted)[:: len(inserted) // 10]:
+        res = t.knn("emb", x[inserted[rid]], k=1)
         assert res[0].rowid == rid
+        assert res[0].distance < 1e-3
