@@ -391,10 +391,22 @@ def insert_batch(
     candidate search runs against the pre-batch graph (new upper slots
     exist but have no in-edges yet, so the beam cannot land on them).
     """
-    state = _stage_write(config, state, new_ids, new_vecs, new_levels)
-    cand_d, cand_i = _stage_candidates(config, state, new_vecs)
-    state = _stage_upper(config, state, new_ids, new_vecs)
-    state = _stage_connect(config, state, new_ids, cand_d, cand_i)
+    from tpuvec.utils import timing
+
+    with timing.timer("insert.write"):
+        state = _stage_write(config, state, new_ids, new_vecs, new_levels)
+    with timing.timer("insert.candidates"):
+        cand_d, cand_i = _stage_candidates(config, state, new_vecs)
+        if timing.enabled():
+            cand_i.block_until_ready()
+    with timing.timer("insert.upper"):
+        state = _stage_upper(config, state, new_ids, new_vecs)
+        if timing.enabled():
+            state.count.block_until_ready()
+    with timing.timer("insert.connect"):
+        state = _stage_connect(config, state, new_ids, cand_d, cand_i)
+        if timing.enabled():
+            state.count.block_until_ready()
     return state
 
 

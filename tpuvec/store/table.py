@@ -60,6 +60,7 @@ from tpuvec.types import (
     VectorType,
 )
 from tpuvec.utils.prng import sample_levels_np
+from tpuvec.utils import timing
 
 __all__ = ["VecTable", "ColumnSpec", "QueryResult"]
 
@@ -346,7 +347,7 @@ class VecTable:
         unbounded batch into a small graph would leave nodes isolated),
         padded to one of two fixed shapes (16 / _FLUSH_THRESHOLD) so jit
         compiles at most two insert programs per config."""
-        with self._lock:
+        with self._lock, timing.timer("table.flush"):
             if not self._pending:
                 return
             pend = self._pending
@@ -506,7 +507,7 @@ class VecTable:
         column's index type. `partition` / `predicate` filter results (the
         capability the reference's PARTITION KEY parser promises).
         """
-        with self._lock:
+        with self._lock, timing.timer("table.knn"):
             self.flush()
             if column not in self.vector_cols:
                 raise InvalidParameter(f"'{column}' is not a vector column")
