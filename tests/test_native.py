@@ -1,0 +1,83 @@
+"""Native tvstore engine tests (csrc/tvstore.cpp via tpuvec.native).
+
+The native analogue of the reference's SQLite persistence substrate:
+atomic single-file snapshots, mmap reads, CRC integrity (the storage-layer
+equivalent of PRAGMA integrity_check)."""
+
+import numpy as np
+import pytest
+
+from tpuvec import native
+
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native tvstore not built (g++ unavailable?)"
+)
+
+
+def test_roundtrip(tmp_path, rng):
+    path = str(tmp_path / "t.tvs")
+    w = native.TvsWriter(path)
+    arrays = {
+        "f32": rng.standard_normal((33, 7)).astype(np.float32),
+        "i32": rng.integers(-5, 5, (4, 4, 4)).astype(np.int32),
+        "u8": rng.integers(0, 255, 100).astype(np.uint8),
+        "scalar": np.int64(42).reshape(()),
+    }
+    for k, v in arrays.items():
+        w.add(k, v)
+    w.finish()
+
+    r = native.TvsReader(path)
+    assert set(r.keys()) == set(arrays)
+    out = r.read_all()
+    r.close()
+    for k, v in arrays.items():
+        assert out[k].dtype == v.dtype
+        assert np.array_equal(out[k].reshape(v.shape), v)
+
+
+def test_corruption_detected(tmp_path, rng):
+    path = str(tmp_path / "t.tvs")
+    w = native.TvsWriter(path)
+    w.add("a", rng.standard_normal(64).astype(np.float32))
+    w.finish()
+    data = bytearray(open(path, "rb").read())
+    data[80] ^= 0xFF  # flip a payload byte
+    open(path, "wb").write(bytes(data))
+    r = native.TvsReader(path)
+    with pytest.raises(OSError, match="CRC"):
+        r.read_all()
+    r.close()
+
+
+def test_abort_leaves_nothing(tmp_path, rng):
+    import os
+
+    path = str(tmp_path / "t.tvs")
+    w = native.TvsWriter(path)
+    w.add("a", np.zeros(4, np.float32))
+    w.abort()
+    assert not os.path.exists(path)
+
+
+def test_snapshot_uses_native(tmp_path, rng):
+    from tpuvec.index.params import HnswParams
+    from tpuvec.store import ColumnSpec, VecTable
+    from tpuvec.store.snapshot import load, save
+    from tpuvec.types import DistanceMetric
+
+    t = VecTable(
+        "s",
+        [ColumnSpec.vector("emb", 16, metric=DistanceMetric.L2,
+                           params=HnswParams(m=4, max_m0=8, ef_construction=32, ef_search=16))],
+        initial_cap=128,
+    )
+    x = rng.standard_normal((20, 16)).astype(np.float32)
+    t.insert_many([{"emb": v} for v in x])
+    path = str(tmp_path / "snap.tvs")
+    save(t, path)  # auto -> native
+    assert open(path, "rb").read(4) == b"TPVS"
+    t2 = load(path)
+    assert len(t2) == 20
+    assert t2.knn("emb", x[7], k=1)[0].rowid == 8

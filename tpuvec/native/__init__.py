@@ -211,7 +211,7 @@ class TvsReader:
                 ptr, ctypes.POINTER(ctypes.c_uint8 * blen)
             ).contents
             arr = np.frombuffer(bytes(buf), dtype=dt)
-            out[name] = arr.reshape(shape) if shape else arr
+            out[name] = arr.reshape(shape)  # () reshapes to a 0-d scalar
         return out
 
     def close(self) -> None:

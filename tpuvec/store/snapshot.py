@@ -83,9 +83,22 @@ def _spec_from_json(d: dict) -> ColumnSpec:
     )
 
 
-def save(table: VecTable, path: str) -> None:
-    """Write a snapshot atomically (tmp file + rename)."""
+def save(table: VecTable, path: str, *, engine: str = "auto") -> None:
+    """Write a snapshot atomically (tmp file + rename).
+
+    engine: "auto" uses the native C++ tvstore (mmap + CRC, csrc/) when the
+    library is available and the path doesn't end in .npz; "npz" forces the
+    numpy fallback; "native" requires tvstore.
+    """
     table.flush()
+    if engine == "auto":
+        from tpuvec import native
+
+        engine = (
+            "native"
+            if native.available() and not path.endswith(".npz")
+            else "npz"
+        )
     meta = {
         "format_version": FORMAT_VERSION,
         "name": table.name,
@@ -109,6 +122,19 @@ def save(table: VecTable, path: str) -> None:
         json.dumps(meta).encode("utf-8"), dtype=np.uint8
     )
 
+    if engine == "native":
+        from tpuvec.native import TvsWriter
+
+        w = TvsWriter(path)
+        try:
+            for name, arr in arrays.items():
+                w.add(name, arr)
+            w.finish()
+        except BaseException:
+            w.abort()
+            raise
+        return
+
     d = os.path.dirname(os.path.abspath(path)) or "."
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     try:
@@ -121,42 +147,58 @@ def save(table: VecTable, path: str) -> None:
         raise
 
 
-def load(path: str) -> VecTable:
-    """Restore a VecTable from a snapshot file."""
+def _open_archive(path: str):
+    """Return a dict-like of arrays, sniffing tvstore vs npz."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"TPVS":
+        from tpuvec.native import TvsReader
+
+        r = TvsReader(path)
+        try:
+            return r.read_all()
+        finally:
+            r.close()
     with np.load(path, allow_pickle=False) as z:
-        meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
-        if meta.get("format_version") != FORMAT_VERSION:
-            raise InvalidState(
-                f"unsupported snapshot format {meta.get('format_version')}"
-            )
-        columns = [_spec_from_json(c) for c in meta["columns"]]
-        table = VecTable(
-            meta["name"],
-            columns,
-            index_type=IndexType.parse(meta["index_type"]),
-            initial_cap=128,
+        return {k: z[k] for k in z.files}
+
+
+def load(path: str) -> VecTable:
+    """Restore a VecTable from a snapshot file (tvstore or npz)."""
+    z = _open_archive(path)
+    meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
+    if meta.get("format_version") != FORMAT_VERSION:
+        raise InvalidState(
+            f"unsupported snapshot format {meta.get('format_version')}"
         )
-        table._rowid_to_slot = {int(k): v for k, v in meta["rowid_to_slot"].items()}
-        table._slot_to_rowid = {v: k for k, v in table._rowid_to_slot.items()}
-        table._max_rowid = meta["max_rowid"]
-        table._next_slot = meta["next_slot"]
-        table._free_slots = list(meta["free_slots"])
-        table._scalar_data = {
-            cname: {int(k): v for k, v in vals.items()}
-            for cname, vals in meta["scalar_data"].items()
+    columns = [_spec_from_json(c) for c in meta["columns"]]
+    table = VecTable(
+        meta["name"],
+        columns,
+        index_type=IndexType.parse(meta["index_type"]),
+        initial_cap=128,
+    )
+    table._rowid_to_slot = {int(k): v for k, v in meta["rowid_to_slot"].items()}
+    table._slot_to_rowid = {v: k for k, v in table._rowid_to_slot.items()}
+    table._max_rowid = meta["max_rowid"]
+    table._next_slot = meta["next_slot"]
+    table._free_slots = list(meta["free_slots"])
+    table._scalar_data = {
+        cname: {int(k): v for k, v in vals.items()}
+        for cname, vals in meta["scalar_data"].items()
+    }
+    for cname, vc in table.vector_cols.items():
+        raw = z[f"raw::{cname}"]
+        cap = raw.shape[0]
+        if cap != vc.config.cap:
+            vc.config = dataclasses.replace(
+                vc.config,
+                cap=cap,
+                cap_u=z[f"graph::{cname}::upper_nodes"].shape[0],
+            )
+        vc.raw = raw.copy()
+        fields = {
+            f: jnp.asarray(z[f"graph::{cname}::{f}"]) for f in _GRAPH_FIELDS
         }
-        for cname, vc in table.vector_cols.items():
-            raw = z[f"raw::{cname}"]
-            cap = raw.shape[0]
-            if cap != vc.config.cap:
-                vc.config = dataclasses.replace(
-                    vc.config,
-                    cap=cap,
-                    cap_u=z[f"graph::{cname}::upper_nodes"].shape[0],
-                )
-            vc.raw = raw.copy()
-            fields = {
-                f: jnp.asarray(z[f"graph::{cname}::{f}"]) for f in _GRAPH_FIELDS
-            }
-            vc.state = GraphState(**fields)
+        vc.state = GraphState(**fields)
     return table
