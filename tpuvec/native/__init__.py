@@ -130,16 +130,17 @@ class TvsWriter:
             raise OSError(lib.tvs_last_error().decode())
 
     def add(self, name: str, arr: np.ndarray) -> None:
+        orig_shape = np.asarray(arr).shape  # ascontiguousarray promotes 0-d to 1-d
         arr = np.ascontiguousarray(arr)
         code = _DTYPE_CODE.get(arr.dtype)
         if code is None:
             raise TypeError(f"unsupported dtype {arr.dtype}")
-        shape = (ctypes.c_uint64 * max(arr.ndim, 1))(*(arr.shape or (0,)))
+        shape = (ctypes.c_uint64 * max(len(orig_shape), 1))(*(orig_shape or (0,)))
         rc = self._lib.tvs_writer_add(
             self._h,
             name.encode(),
             code,
-            arr.ndim,
+            len(orig_shape),
             shape,
             arr.ctypes.data_as(ctypes.c_void_p),
             arr.nbytes,
