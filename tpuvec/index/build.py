@@ -306,6 +306,72 @@ def _stage_upper(
     return dataclasses.replace(state, upper_adj=upper_adj, upper_dist=upper_dist)
 
 
+def _reverse_pass(adj, adj_dist, new_ids, fwd_i, fwd_d, ok_new, cap, max_conn, protect):
+    """Vectorized reverse-edge insertion with protected-prefix pruning.
+
+    Replaces a sequential per-node scan (nb steps) with one sort-based
+    pass. For every (neighbor s <- new u) pair, group pairs by s (stable
+    double argsort: by distance, then by s), rank entrants within each
+    group (cumulative-max group starts), cap at the suffix width (farthest
+    entrants beyond capacity can never survive), and let each group's
+    *leader* rewrite s's suffix as top-K of (old suffix ∪ its entrant
+    window). Leaders have unique s, so the scatter is conflict-free.
+
+    Equivalent to inserting entrants one at a time with keep-smallest-K
+    pruning: keep-top-K is order-independent.
+    """
+    nb, m0 = fwd_i.shape
+    keep = max_conn - protect
+    p_n = nb * m0
+
+    s = fwd_i.reshape(p_n)
+    u = jnp.repeat(new_ids, m0)
+    d = fwd_d.reshape(p_n)
+    ok = jnp.logical_and(
+        jnp.logical_and(s >= 0, jnp.isfinite(d)), jnp.repeat(ok_new, m0)
+    )
+    big = jnp.int32(cap + 1)
+    s_key = jnp.where(ok, s, big)
+
+    # stable group-by: sort by d, then stably by s
+    o1 = jnp.argsort(d, stable=True)
+    o2 = jnp.argsort(s_key[o1], stable=True)
+    order = o1[o2]
+    s_s = s_key[order]
+    u_s = u[order]
+    d_s = d[order]
+
+    iota = jnp.arange(p_n, dtype=jnp.int32)
+    start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), s_s[1:] != s_s[:-1]]
+    )
+    fi = jax.lax.cummax(jnp.where(start, iota, 0))
+    occ = iota - fi
+    leader = jnp.logical_and(start, s_s < big)
+
+    # entrant window per leader: positions [i, i+keep)
+    pos = iota[:, None] + jnp.arange(keep)[None, :]
+    win = jnp.minimum(pos, p_n - 1)
+    win_same = jnp.logical_and(s_s[win] == s_s[:, None], pos < p_n)
+    ent_d = jnp.where(win_same, d_s[win], _INF)
+    ent_i = jnp.where(win_same, u_s[win], -1)
+
+    # merge with the old suffix and keep the smallest `keep`
+    rows_old = adj[jnp.minimum(s_s, cap - 1)][:, protect:]
+    rowsd_old = adj_dist[jnp.minimum(s_s, cap - 1)][:, protect:]
+    cat_i = jnp.concatenate([rows_old, ent_i], axis=1)
+    cat_d = jnp.concatenate([rowsd_old, ent_d], axis=1)
+    negv, sel = jax.lax.top_k(-cat_d, keep)
+    new_rows = jnp.take_along_axis(cat_i, sel, axis=1)
+    new_rowsd = -negv
+    new_rows = jnp.where(jnp.isfinite(new_rowsd), new_rows, -1)
+
+    tgt = jnp.where(leader, s_s, cap)  # only leaders write; others dropped
+    adj = adj.at[tgt, protect:].set(new_rows, mode="drop")
+    adj_dist = adj_dist.at[tgt, protect:].set(new_rowsd, mode="drop")
+    return adj, adj_dist
+
+
 @partial(jax.jit, static_argnames=("config",), donate_argnames=("state",))
 def _stage_connect(
     config: HnswConfig,
@@ -341,19 +407,17 @@ def _stage_connect(
     adj0 = state.adj0.at[tgt].set(fwd_i, mode="drop")
     adj0_dist = state.adj0_dist.at[tgt].set(fwd_d, mode="drop")
 
-    # reverse level-0 edges with prune
-    def rev0_body(carry, inp):
-        a, ad = carry
-        u, s_i, s_d, u_ok = inp
-        ok = jnp.logical_and(jnp.logical_and(s_i >= 0, jnp.isfinite(s_d)), u_ok)
-        # protect the heuristic-selected forward prefix (see _prune_scan)
-        a, ad = _prune_scan(
-            a, ad, s_i, u, s_d, ok, c.cap, c.max_m0, protect=min(c.m, c.max_m0 // 2)
-        )
-        return (a, ad), None
-
-    (adj0, adj0_dist), _ = jax.lax.scan(
-        rev0_body, (adj0, adj0_dist), (new_ids, fwd_i, fwd_d, ok_new)
+    # reverse level-0 edges, protected-prefix pruned (single vectorized pass)
+    adj0, adj0_dist = _reverse_pass(
+        adj0,
+        adj0_dist,
+        new_ids,
+        fwd_i,
+        fwd_d,
+        ok_new,
+        c.cap,
+        c.max_m0,
+        protect=min(c.m, c.max_m0 // 2),
     )
 
     # entry point + count
