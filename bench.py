@@ -60,8 +60,9 @@ def main() -> None:
     cfg = config_for(
         d, metric=DistanceMetric.COSINE, params=params, cap=n
     )
-    xp = prepare_vectors(cfg, jnp.asarray(x))
-    xp_host = np.asarray(xp)
+    from tpuvec.utils.transfer import prepare_vectors_chunked, to_device_chunked
+
+    xp_host = prepare_vectors_chunked(cfg, x)
 
     t0 = time.time()
     state = build_graph(cfg, xp_host, max_batch=1024)
@@ -70,10 +71,12 @@ def main() -> None:
     log(f"build: {n} vectors in {build_s:.1f}s = {n / build_s:.0f} vec/s")
 
     qp = prepare_vectors(cfg, jnp.asarray(q))
+    xp_dev = to_device_chunked(xp_host)
     gt_d, gt_i = bruteforce_knn(
-        qp, xp, jnp.ones(n, bool), metric=cfg.graph_metric, k=k,
+        qp, xp_dev, jnp.ones(n, bool), metric=cfg.graph_metric, k=k,
         normalized=cfg.normalized,
     )
+    del xp_dev
     gt = np.asarray(gt_i)
 
     def recall(found):

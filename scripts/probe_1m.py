@@ -15,9 +15,9 @@ data = synthetic_embeddings(n + qn, d, n_clusters=1024, seed=0)
 x, q = data[:n], data[n:]
 params = HnswParams(m=32, max_m0=64, ef_construction=200, ef_search=128)
 cfg = config_for(d, metric=DistanceMetric.COSINE, params=params, cap=n)
+from tpuvec.utils.transfer import prepare_vectors_chunked, to_device_chunked
 t0 = time.time()
-xp = prepare_vectors(cfg, jnp.asarray(x))
-xp_host = np.asarray(xp)
+xp_host = prepare_vectors_chunked(cfg, x)
 print(f"prepared in {time.time()-t0:.0f}s", flush=True)
 t0 = time.time()
 state = build_graph(cfg, xp_host, max_batch=1024)
@@ -26,7 +26,9 @@ bs = time.time() - t0
 print(f"build: {n} in {bs:.0f}s = {n/bs:.0f} vec/s", flush=True)
 
 qp = prepare_vectors(cfg, jnp.asarray(q))
-gt_i = np.asarray(bruteforce_knn(qp, xp, jnp.ones(n, bool), metric=cfg.graph_metric, k=k, normalized=cfg.normalized)[1])
+xp_dev = to_device_chunked(xp_host)
+gt_i = np.asarray(bruteforce_knn(qp, xp_dev, jnp.ones(n, bool), metric=cfg.graph_metric, k=k, normalized=cfg.normalized)[1])
+del xp_dev
 def recall(found):
     return sum(len(set(found[b].tolist()) & set(gt_i[b].tolist())) for b in range(qn)) / (qn*k)
 for ef in (16, 32, 64, 128):
