@@ -33,16 +33,16 @@ def synthetic_embeddings(
     then L2-normalized. Deterministic in (n, d, params, seed).
     """
     rng = np.random.default_rng(seed)
-    basis = rng.standard_normal((intrinsic_dim, d)).astype(np.float32)
+    basis = rng.standard_normal((intrinsic_dim, d), dtype=np.float32)
     basis /= np.linalg.norm(basis, axis=1, keepdims=True)
-    centers = rng.standard_normal((n_clusters, intrinsic_dim)).astype(np.float32)
+    centers = rng.standard_normal((n_clusters, intrinsic_dim), dtype=np.float32)
     sizes = rng.dirichlet(np.full(n_clusters, 1.5))
     assign = rng.choice(n_clusters, size=n, p=sizes)
-    z = centers[assign] + 0.35 * rng.standard_normal((n, intrinsic_dim)).astype(
-        np.float32
+    z = centers[assign] + 0.35 * rng.standard_normal(
+        (n, intrinsic_dim), dtype=np.float32
     )
-    x = z.astype(np.float32) @ basis
-    x += noise * rng.standard_normal((n, d)).astype(np.float32)
+    x = z @ basis
+    x += noise * rng.standard_normal((n, d), dtype=np.float32)
     if normalize:
         x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-9)
     return x.astype(np.float32)
