@@ -206,13 +206,13 @@ def beam_search_level0(
         return sel, active
 
     def cond(carry):
-        beam_d, beam_i, beam_x, it = carry
-        _, active = frontier(beam_d, beam_i, beam_x)
-        return jnp.logical_and(jnp.any(active), it < max_iters)
+        # the frontier for the next iteration is computed once at the end
+        # of each body and carried — cond is just a flag check
+        *_, alive, it = carry
+        return jnp.logical_and(alive, it < max_iters)
 
     def body(carry):
-        beam_d, beam_i, beam_x, it = carry
-        sel, active = frontier(beam_d, beam_i, beam_x)
+        beam_d, beam_i, beam_x, sel, active, _, it = carry
         beam_x = jnp.logical_or(beam_x, sel)
 
         # compact the <=E selected positions to [B, E] candidate ids
@@ -243,10 +243,14 @@ def beam_search_level0(
         beam_d, beam_i, beam_x = bitonic_topk_merge(beam_d, beam_i, beam_x, nd, ni)
         # padding slots (inf) must never be frontier
         beam_x = jnp.logical_or(beam_x, jnp.logical_not(jnp.isfinite(beam_d)))
-        return beam_d, beam_i, beam_x, it + 1
+        nsel, nactive = frontier(beam_d, beam_i, beam_x)
+        return beam_d, beam_i, beam_x, nsel, nactive, jnp.any(nactive), it + 1
 
-    beam_d, beam_i, beam_x, iters = jax.lax.while_loop(
-        cond, body, (beam_d, beam_i, beam_x, jnp.int32(0))
+    sel0, active0 = frontier(beam_d, beam_i, beam_x)
+    beam_d, beam_i, beam_x, _, _, _, iters = jax.lax.while_loop(
+        cond,
+        body,
+        (beam_d, beam_i, beam_x, sel0, active0, jnp.any(active0), jnp.int32(0)),
     )
     return beam_d, beam_i, iters
 
