@@ -20,7 +20,7 @@ t0 = time.time()
 xp_host = prepare_vectors_chunked(cfg, x)
 print(f"prepared in {time.time()-t0:.0f}s", flush=True)
 t0 = time.time()
-state = build_graph(cfg, xp_host, max_batch=1024)
+state = build_graph(cfg, xp_host, max_batch=1024, progress=100)
 state.count.block_until_ready()
 bs = time.time() - t0
 print(f"build: {n} in {bs:.0f}s = {n/bs:.0f} vec/s", flush=True)

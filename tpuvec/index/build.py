@@ -11,11 +11,11 @@ TPU-native recast of the reference's per-row insert path
 * Upper-level (>= 1) neighbor selection is *exact*: only ~1/M of nodes
   reach level 1, so a chunked MXU matmul over all upper nodes beats graph
   traversal and improves on the reference's beam there.
-* Pruning is the reference's default "simple prune" — keep the closest
-  max_conn by stored edge distance (insert.rs:144-221) — applied as a
-  masked top_k over [M0, M0+1] buffers inside a lax.scan over the batch
-  (reverse edges conflict on shared neighbors; the scan keeps updates
-  exact).
+* Forward-edge selection uses the RNG diversity heuristic (the reference
+  ships it behind simple_prune=false); reverse edges land through one
+  vectorized sort-based pass (_reverse_pass) that keeps the closest
+  entries per stored edge distance (the reference's prune semantics,
+  insert.rs:144-221) in the suffix beyond an eviction-protected prefix.
 * Level sampling is a deterministic pure function of the node id
   (utils/prng.py) instead of the reference's time-seeded hash
   (insert.rs:114-137).
@@ -498,6 +498,7 @@ def build_graph(
     *,
     max_batch: int = 1024,
     state: GraphState | None = None,
+    progress: int = 0,
 ) -> GraphState:
     """Build a graph over prepared vectors [N, Dp] (host driver).
 
@@ -510,9 +511,13 @@ def build_graph(
         ids = np.arange(n, dtype=np.int32)
     state = state if state is not None else allocate(config)
     vectors_prepared = np.asarray(vectors_prepared)
+    import sys
+    import time as _time
+
     pos = 0
+    t0 = _time.time()
     shape = max_batch  # fixed shape: one jit compile per (config, max_batch)
-    for take in plan_batch_sizes(n, max_batch):
+    for bi_num, take in enumerate(plan_batch_sizes(n, max_batch)):
         batch_ids = np.full(shape, -1, dtype=np.int32)
         batch_ids[:take] = ids[pos : pos + take]
         bv = np.zeros((shape, vectors_prepared.shape[1]), vectors_prepared.dtype)
@@ -523,6 +528,14 @@ def build_graph(
         )
         state = insert_batch(config, state, bi, jnp.asarray(bv), lv)
         pos += take
+        if progress and (bi_num % progress == 0):
+            state.count.block_until_ready()
+            rate = pos / max(_time.time() - t0, 1e-9)
+            print(
+                f"[build] {pos}/{n} ({rate:.0f} vec/s)",
+                file=sys.stderr,
+                flush=True,
+            )
     return state
 
 
