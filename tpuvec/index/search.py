@@ -165,6 +165,7 @@ def beam_search_level0(
     ef: int,
     max_iters: int,
     n_expand: int = 1,
+    use_pallas: bool = False,
 ):
     """Best-first beam search at level 0.
 
@@ -246,6 +247,54 @@ def beam_search_level0(
         nsel, nactive = frontier(beam_d, beam_i, beam_x)
         return beam_d, beam_i, beam_x, nsel, nactive, jnp.any(nactive), it + 1
 
+    if use_pallas:
+        # fused kernel path: dedup + merge + next-frontier in one VMEM
+        # kernel (tpuvec/ops/pallas_beam.py); adjacency/vector gathers and
+        # the distance einsum stay in XLA where they are already fast
+        from tpuvec.ops.pallas_beam import beam_update
+
+        interpret = jax.default_backend() != "tpu"
+
+        def compact(sel, bi):
+            selrank = jnp.cumsum(sel.astype(jnp.int32), axis=1)
+            cand = jnp.full((b, e), -1, dtype=jnp.int32)
+            for j in range(e):
+                mask_j = jnp.logical_and(sel, selrank == j + 1)
+                pos_j = jnp.argmax(mask_j, axis=1)
+                has_j = jnp.any(mask_j, axis=1)
+                cid = jnp.take_along_axis(bi, pos_j[:, None], 1)[:, 0]
+                cand = cand.at[:, j].set(jnp.where(has_j, cid, -1))
+            return cand
+
+        def body_p(carry):
+            beam_d, beam_i, beam_x, cand, active, _, it = carry
+            ok = jnp.logical_and(cand >= 0, active[:, None])
+            nbrs = state.adj0[jnp.maximum(cand, 0)]
+            nbrs = jnp.where(ok[:, :, None], nbrs, -1).reshape(b, w_raw)
+            nd = _node_dist(config, state, q, nbrs)
+            if wp != w_raw:
+                nd = jnp.pad(nd, ((0, 0), (0, wp - w_raw)), constant_values=_INF)
+                nbrs = jnp.pad(nbrs, ((0, 0), (0, wp - w_raw)), constant_values=-1)
+            beam_d, beam_i, beam_x, cand, active = beam_update(
+                beam_d, beam_i, beam_x, nbrs, nd,
+                n_expand=e, interpret=interpret,
+            )
+            return beam_d, beam_i, beam_x, cand, active, jnp.any(active), it + 1
+
+        def cond_p(carry):
+            *_, alive, it = carry
+            return jnp.logical_and(alive, it < max_iters)
+
+        sel0, active0 = frontier(beam_d, beam_i, beam_x)
+        cand0 = compact(sel0, beam_i)
+        beam_x = jnp.logical_or(beam_x, sel0)
+        beam_d, beam_i, beam_x, _, _, _, iters = jax.lax.while_loop(
+            cond_p,
+            body_p,
+            (beam_d, beam_i, beam_x, cand0, active0, jnp.any(active0), jnp.int32(0)),
+        )
+        return beam_d, beam_i, iters
+
     sel0, active0 = frontier(beam_d, beam_i, beam_x)
     beam_d, beam_i, beam_x, _, _, _, iters = jax.lax.while_loop(
         cond,
@@ -266,7 +315,7 @@ def default_max_iters(ef: int, n_expand: int) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("config", "k", "ef", "max_iters", "n_expand"),
+    static_argnames=("config", "k", "ef", "max_iters", "n_expand", "use_pallas"),
 )
 def search_graph(
     config: HnswConfig,
@@ -277,6 +326,7 @@ def search_graph(
     ef: int | None = None,
     max_iters: int | None = None,
     n_expand: int = 1,
+    use_pallas: bool = False,
 ):
     """Batched k-NN over the graph in *internal* distance space.
 
@@ -297,6 +347,7 @@ def search_graph(
         ef=ef,
         max_iters=max_iters,
         n_expand=n_expand,
+        use_pallas=use_pallas,
     )
     out_d = beam_d[:, :k]
     out_i = beam_i[:, :k]

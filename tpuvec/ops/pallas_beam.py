@@ -1,0 +1,133 @@
+"""Pallas fused beam-update kernel.
+
+One beam-search iteration's bookkeeping — beam-membership dedup, distance
+masking, bitonic top-EF merge, and next-frontier selection — fused into a
+single VMEM-resident kernel. The XLA path runs the same logic as separate
+HLO ops (tpuvec/index/search.py); fusing them removes HBM round-trips for
+the [B, EF]/[B, W] intermediates between ops.
+
+The kernel is numerics-identical to the XLA path (same bitonic network,
+tpuvec/ops/sort.py) and is exercised in interpret mode on CPU by the test
+suite; `search_graph(..., use_pallas=True)` enables it on TPU.
+
+Layout requirements: EF, EF+W powers of two; all arrays [B, *] with the
+last dim a lane multiple for best Mosaic lowering (EF, W >= 128 ideal).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuvec.ops.sort import bitonic_sort
+
+__all__ = ["beam_update", "beam_update_reference"]
+
+_INF = float("inf")  # plain float: a jnp constant would be captured by the kernel
+
+
+def _beam_update_math(beam_d, beam_i, beam_x, nbrs, nd, n_expand):
+    """The shared math: runs identically inside the kernel and as jnp."""
+    b, efp = beam_d.shape
+    w = nbrs.shape[1]
+
+    # dedup against beam (chunked) + intra-window dedup when E > 1
+    dup = jnp.zeros((b, w), dtype=jnp.bool_)
+    for s in range(0, efp, 128):
+        blk = beam_i[:, s : s + 128]
+        dup = jnp.logical_or(
+            dup, jnp.any(nbrs[:, :, None] == blk[:, None, :], axis=-1)
+        )
+    if n_expand > 1:
+        pos = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+        cpos = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+        earlier = (pos > cpos)[None]
+        eq = nbrs[:, :, None] == nbrs[:, None, :]
+        dup = jnp.logical_or(dup, jnp.any(jnp.logical_and(eq, earlier), -1))
+    fresh = jnp.logical_and(nbrs >= 0, jnp.logical_not(dup))
+    ndm = jnp.where(fresh, nd, _INF)
+    nim = jnp.where(fresh, nbrs, -1)
+
+    # merge: bitonic over [B, EF + W]
+    all_d = jnp.concatenate([beam_d, ndm], axis=1)
+    all_i = jnp.concatenate([beam_i, nim], axis=1)
+    all_x = jnp.concatenate(
+        [beam_x, jnp.zeros((b, w), dtype=beam_x.dtype)], axis=1
+    )
+    sd, si, sx = bitonic_sort(all_d, all_i, all_x)
+    sd, si, sx = sd[:, :efp], si[:, :efp], sx[:, :efp]
+    sx = jnp.logical_or(sx.astype(jnp.bool_), jnp.logical_not(jnp.isfinite(sd)))
+
+    # next frontier: first E unexpanded of the (sorted) beam
+    unexp = jnp.logical_and(jnp.logical_not(sx), jnp.isfinite(sd))
+    rank = jnp.cumsum(unexp.astype(jnp.int32), axis=1)
+    cd_best = jnp.min(jnp.where(unexp, sd, _INF), axis=1)
+    worst = sd[:, -1]
+    active = jnp.logical_and(
+        jnp.isfinite(cd_best),
+        jnp.logical_or(cd_best <= worst, jnp.logical_not(jnp.isfinite(worst))),
+    )
+    sel = jnp.logical_and(jnp.logical_and(unexp, rank <= n_expand), active[:, None])
+    selrank = jnp.cumsum(sel.astype(jnp.int32), axis=1)
+    cand = jnp.full((b, n_expand), -1, dtype=jnp.int32)
+    for j in range(n_expand):
+        mask_j = jnp.logical_and(sel, selrank == j + 1)
+        pos_j = jnp.argmax(mask_j, axis=1)
+        has_j = jnp.any(mask_j, axis=1)
+        cid = jnp.take_along_axis(si, pos_j[:, None], 1)[:, 0]
+        cand = cand.at[:, j].set(jnp.where(has_j, cid, -1))
+    return sd, si, jnp.logical_or(sx, sel), cand, active
+
+
+def beam_update_reference(beam_d, beam_i, beam_x, nbrs, nd, *, n_expand=1):
+    """Pure-jnp form of the fused update (ground truth for the kernel)."""
+    return _beam_update_math(beam_d, beam_i, beam_x, nbrs, nd, n_expand)
+
+
+@functools.partial(jax.jit, static_argnames=("n_expand", "interpret"))
+def beam_update(beam_d, beam_i, beam_x, nbrs, nd, *, n_expand=1, interpret=False):
+    """Fused beam update as one Pallas kernel.
+
+    beam_d/i/x: [B, EF] (EF pow2, sorted ascending, x=expanded int8/bool);
+    nbrs/nd: [B, W] raw gathered neighbors + internal distances
+    (EF + W pow2). Returns (beam_d', beam_i', beam_x', cand [B, E],
+    active [B]).
+    """
+    b, efp = beam_d.shape
+    e = n_expand
+
+    def kernel(bd, bi, bx, nb, ndr, od, oi, ox, oc, oa):
+        sd, si, sx, cand, active = _beam_update_math(
+            bd[:], bi[:], bx[:].astype(jnp.bool_), nb[:], ndr[:], e
+        )
+        od[:] = sd
+        oi[:] = si
+        ox[:] = sx.astype(jnp.int8)
+        oc[:] = cand
+        oa[:] = active.astype(jnp.int8)[:, None]
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, efp), jnp.float32),
+            jax.ShapeDtypeStruct((b, efp), jnp.int32),
+            jax.ShapeDtypeStruct((b, efp), jnp.int8),
+            jax.ShapeDtypeStruct((b, e), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1), jnp.int8),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(beam_d, beam_i, beam_x.astype(jnp.int8), nbrs, nd)
+    sd, si, sx, cand, active = out
+    return sd, si, sx.astype(jnp.bool_), cand, active[:, 0].astype(jnp.bool_)
