@@ -528,6 +528,10 @@ def build_graph(
         )
         state = insert_batch(config, state, bi, jnp.asarray(bv), lv)
         pos += take
+        # throttle async dispatch: unbounded enqueue of per-batch host->device
+        # transfers wedges the axon relay (measured), and buys nothing
+        if bi_num % 8 == 0:
+            state.count.block_until_ready()
         if progress and (bi_num % progress == 0):
             state.count.block_until_ready()
             rate = pos / max(_time.time() - t0, 1e-9)
