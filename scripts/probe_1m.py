@@ -15,18 +15,17 @@ data = synthetic_embeddings(n + qn, d, n_clusters=1024, seed=0)
 x, q = data[:n], data[n:]
 params = HnswParams(m=32, max_m0=64, ef_construction=200, ef_search=128)
 cfg = config_for(d, metric=DistanceMetric.COSINE, params=params, cap=n)
-from tpuvec.utils.transfer import prepare_vectors_chunked, to_device_chunked
+from tpuvec.utils.transfer import prepare_vectors_device
 t0 = time.time()
-xp_host = prepare_vectors_chunked(cfg, x)
-print(f"prepared in {time.time()-t0:.0f}s", flush=True)
+xp_dev = prepare_vectors_device(cfg, x)
+print(f"prepared in {time.time()-t0:.0f}s (device-resident)", flush=True)
 t0 = time.time()
-state = build_graph(cfg, xp_host, max_batch=1024, progress=100)
+state = build_graph(cfg, xp_dev, max_batch=1024, progress=50)
 state.count.block_until_ready()
 bs = time.time() - t0
 print(f"build: {n} in {bs:.0f}s = {n/bs:.0f} vec/s", flush=True)
 
 qp = prepare_vectors(cfg, jnp.asarray(q))
-xp_dev = to_device_chunked(xp_host)
 gt_i = np.asarray(bruteforce_knn(qp, xp_dev, jnp.ones(n, bool), metric=cfg.graph_metric, k=k, normalized=cfg.normalized)[1])
 del xp_dev
 def recall(found):

@@ -510,7 +510,9 @@ def build_graph(
     if ids is None:
         ids = np.arange(n, dtype=np.int32)
     state = state if state is not None else allocate(config)
-    vectors_prepared = np.asarray(vectors_prepared)
+    on_device = isinstance(vectors_prepared, jax.Array)
+    if not on_device:
+        vectors_prepared = np.asarray(vectors_prepared)
     import sys
     import time as _time
 
@@ -520,13 +522,22 @@ def build_graph(
     for bi_num, take in enumerate(plan_batch_sizes(n, max_batch)):
         batch_ids = np.full(shape, -1, dtype=np.int32)
         batch_ids[:take] = ids[pos : pos + take]
-        bv = np.zeros((shape, vectors_prepared.shape[1]), vectors_prepared.dtype)
-        bv[:take] = vectors_prepared[pos : pos + take]
+        if on_device:
+            # slice + pad on device: no per-batch host->device transfer
+            blk = jax.lax.dynamic_slice_in_dim(
+                vectors_prepared, pos, min(take, n - pos), axis=0
+            )
+            bv = jnp.zeros((shape, vectors_prepared.shape[1]), vectors_prepared.dtype)
+            bv = jax.lax.dynamic_update_slice_in_dim(bv, blk, 0, axis=0)
+        else:
+            bvh = np.zeros((shape, vectors_prepared.shape[1]), vectors_prepared.dtype)
+            bvh[:take] = vectors_prepared[pos : pos + take]
+            bv = jnp.asarray(bvh)
         bi = jnp.asarray(batch_ids)
         lv = sample_levels(
             jnp.maximum(bi, 0), config.rng_seed, config.level_factor, config.lu
         )
-        state = insert_batch(config, state, bi, jnp.asarray(bv), lv)
+        state = insert_batch(config, state, bi, bv, lv)
         pos += take
         # throttle async dispatch: unbounded enqueue of per-batch host->device
         # transfers wedges the axon relay (measured), and buys nothing

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["to_device_chunked", "prepare_vectors_chunked"]
+__all__ = ["to_device_chunked", "prepare_vectors_chunked", "prepare_vectors_device"]
 
 _DEFAULT_CHUNK_BYTES = 128 * 1024 * 1024
 
@@ -34,3 +34,20 @@ def prepare_vectors_chunked(config, x: np.ndarray, chunk_rows: int = 65536):
     for i in range(0, x.shape[0], chunk_rows):
         outs.append(np.asarray(prepare_vectors(config, jnp.asarray(x[i : i + chunk_rows]))))
     return np.concatenate(outs, axis=0)
+
+
+def prepare_vectors_device(config, x: np.ndarray, chunk_rows: int = 32768):
+    """Chunked upload + on-device prepare; result STAYS on device.
+
+    For million-scale builds: avoids pulling the prepared corpus back to
+    host (and re-uploading it batch by batch) — ~2x corpus size of relay
+    traffic saved.
+    """
+    from tpuvec.index.graph import prepare_vectors
+
+    parts = []
+    for i in range(0, x.shape[0], chunk_rows):
+        parts.append(prepare_vectors(config, jnp.asarray(x[i : i + chunk_rows])))
+    out = jnp.concatenate(parts, axis=0)
+    out.block_until_ready()
+    return out
