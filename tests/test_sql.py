@@ -222,3 +222,26 @@ class TestDatabase:
         assert v == 42
         (ver,) = db.execute("SELECT vec_version()").fetchone()
         assert ver.startswith("tpuvec ")
+
+
+class TestEnnTable:
+    def test_enn_type_uses_exact_scan(self):
+        import json as _json
+
+        db = connect()
+        db.execute(
+            "CREATE VIRTUAL TABLE e USING vec0(v float[4] hnsw(distance=l2), type=enn)"
+        )
+        t = db.table("e")
+        assert not next(iter(t.vector_cols.values())).has_hnsw
+        for i in range(30):
+            db.execute(
+                "INSERT INTO e(v) VALUES (vec_f32(?))",
+                [_json.dumps([float(i), 0.0, 0.0, 0.0])],
+            )
+        rows = db.execute(
+            "SELECT rowid, distance FROM e WHERE v MATCH ? AND k = 3",
+            [_json.dumps([10.2, 0.0, 0.0, 0.0])],
+        ).fetchall()
+        assert [r[0] for r in rows] == [11, 12, 10]  # exact
+        assert abs(rows[0][1] - 0.2) < 1e-4
