@@ -9,7 +9,7 @@ from tpuvec.index.graph import config_for, prepare_vectors
 from tpuvec.index.search import search_graph
 from tpuvec.types import DistanceMetric, IndexQuantization
 from tpuvec.utils.data import synthetic_embeddings
-from tpuvec.utils.transfer import prepare_vectors_chunked, to_device_chunked
+from tpuvec.utils.transfer import prepare_vectors_device, to_device_chunked
 
 n, d, k, qn = 1_000_000, 1024, 10, 256
 print("generating...", flush=True)
@@ -22,10 +22,10 @@ cfg = config_for(
 )
 assert cfg.store_dtype == jnp.int8
 t0 = time.time()
-xp_host = prepare_vectors_chunked(cfg, x)   # int8 index copies, 1 GB
-print(f"prepared in {time.time()-t0:.0f}s ({xp_host.nbytes/2**20:.0f} MiB int8)", flush=True)
+xp_dev = prepare_vectors_device(cfg, x)   # int8 index copies, 1 GB, on device
+print(f"prepared in {time.time()-t0:.0f}s ({xp_dev.nbytes/2**20:.0f} MiB int8)", flush=True)
 t0 = time.time()
-state = build_graph(cfg, xp_host, max_batch=1024)
+state = build_graph(cfg, xp_dev, max_batch=1024, progress=100)
 state.count.block_until_ready()
 bs = time.time() - t0
 print(f"build: {n} in {bs:.0f}s = {n/bs:.0f} vec/s", flush=True)

@@ -201,3 +201,34 @@ class TestSnapshot:
         t2.insert({"emb": rand_rows(rng, 1)[0], "label": "new"})
         assert len(t2) == 41
         assert t2.integrity_check() == []
+
+
+class TestElementTypes:
+    def test_int8_column(self, rng):
+        t = VecTable(
+            "i8",
+            [ColumnSpec.vector("v", 32, vec_type=VectorType.INT8,
+                               metric=DistanceMetric.L2, params=PARAMS)],
+            initial_cap=128,
+        )
+        x = rng.integers(-100, 100, (40, 32)).astype(np.int8)
+        t.insert_many([{"v": v} for v in x])
+        row = t.row(5)["v"]
+        assert row.vec_type is VectorType.INT8
+        np.testing.assert_array_equal(row.as_i8(), x[4])
+        res = t.knn("v", x[9], k=1)
+        assert res[0].rowid == 10 and res[0].distance < 1e-3
+
+    def test_bit_column_hamming(self, rng):
+        t = VecTable(
+            "bt",
+            [ColumnSpec.vector("v", 64, vec_type=VectorType.BIT,
+                               metric=DistanceMetric.HAMMING, params=PARAMS)],
+            initial_cap=128,
+        )
+        bits = (rng.random((30, 64)) > 0.5).astype(np.uint8)
+        t.insert_many([{"v": b} for b in bits])
+        row = t.row(3)["v"]
+        np.testing.assert_array_equal(row.as_bits(), bits[2])
+        res = t.knn("v", bits[7], k=1)
+        assert res[0].rowid == 8 and res[0].distance == 0.0
