@@ -60,18 +60,17 @@ def main() -> None:
     cfg = config_for(
         d, metric=DistanceMetric.COSINE, params=params, cap=n
     )
-    from tpuvec.utils.transfer import prepare_vectors_chunked, to_device_chunked
+    from tpuvec.utils.transfer import prepare_vectors_device
 
-    xp_host = prepare_vectors_chunked(cfg, x)
+    xp_dev = prepare_vectors_device(cfg, x)
 
     t0 = time.time()
-    state = build_graph(cfg, xp_host, max_batch=1024)
+    state = build_graph(cfg, xp_dev, max_batch=1024)
     state.count.block_until_ready()
     build_s = time.time() - t0
     log(f"build: {n} vectors in {build_s:.1f}s = {n / build_s:.0f} vec/s")
 
     qp = prepare_vectors(cfg, jnp.asarray(q))
-    xp_dev = to_device_chunked(xp_host)
     gt_d, gt_i = bruteforce_knn(
         qp, xp_dev, jnp.ones(n, bool), metric=cfg.graph_metric, k=k,
         normalized=cfg.normalized,
