@@ -8,7 +8,14 @@ the [B, EF]/[B, W] intermediates between ops.
 
 The kernel is numerics-identical to the XLA path (same bitonic network,
 tpuvec/ops/sort.py) and is exercised in interpret mode on CPU by the test
-suite; `search_graph(..., use_pallas=True)` enables it on TPU.
+suite; `search_graph(..., use_pallas=True)` selects it.
+
+STATUS (v5e, jax 0.9): the kernel traces without Mosaic-unsupported
+primitives (cumsum -> log-step shift-adds, no .at[] updates, no negative
+indexing), but the Mosaic compiler itself crashes (tpu_compile_helper
+exit 1) on the bitonic network's [B, g, 2, j] reshape ladder. The XLA
+path is the production default; revisit when Mosaic handles the reshapes
+or after restructuring the network around pltpu.roll.
 
 Layout requirements: EF, EF+W powers of two; all arrays [B, *] with the
 last dim a lane multiple for best Mosaic lowering (EF, W >= 128 ideal).
@@ -24,6 +31,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpuvec.ops.sort import bitonic_sort
+
+
+def _cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum along the last axis via log-step shifted adds
+    (static pad/slice only — Mosaic has no cumsum primitive)."""
+    n = x.shape[-1]
+    shift = 1
+    while shift < n:
+        shifted = jnp.pad(x[..., :-shift], [(0, 0)] * (x.ndim - 1) + [(shift, 0)])
+        x = x + shifted
+        shift *= 2
+    return x
 
 __all__ = ["beam_update", "beam_update_reference"]
 
@@ -64,22 +83,22 @@ def _beam_update_math(beam_d, beam_i, beam_x, nbrs, nd, n_expand):
 
     # next frontier: first E unexpanded of the (sorted) beam
     unexp = jnp.logical_and(jnp.logical_not(sx), jnp.isfinite(sd))
-    rank = jnp.cumsum(unexp.astype(jnp.int32), axis=1)
+    rank = _cumsum_lanes(unexp.astype(jnp.int32))
     cd_best = jnp.min(jnp.where(unexp, sd, _INF), axis=1)
-    worst = sd[:, -1]
+    worst = sd[:, sd.shape[1] - 1]  # positive static index (negative lowers to dynamic_slice)
     active = jnp.logical_and(
         jnp.isfinite(cd_best),
         jnp.logical_or(cd_best <= worst, jnp.logical_not(jnp.isfinite(worst))),
     )
     sel = jnp.logical_and(jnp.logical_and(unexp, rank <= n_expand), active[:, None])
-    selrank = jnp.cumsum(sel.astype(jnp.int32), axis=1)
-    cand = jnp.full((b, n_expand), -1, dtype=jnp.int32)
+    selrank = _cumsum_lanes(sel.astype(jnp.int32))
+    cols = []
     for j in range(n_expand):
-        mask_j = jnp.logical_and(sel, selrank == j + 1)
-        pos_j = jnp.argmax(mask_j, axis=1)
+        mask_j = jnp.logical_and(sel, selrank == j + 1)  # one-hot per row
         has_j = jnp.any(mask_j, axis=1)
-        cid = jnp.take_along_axis(si, pos_j[:, None], 1)[:, 0]
-        cand = cand.at[:, j].set(jnp.where(has_j, cid, -1))
+        cid = jnp.sum(jnp.where(mask_j, si, 0), axis=1)  # masked-sum gather
+        cols.append(jnp.where(has_j, cid, -1))
+    cand = jnp.stack(cols, axis=1)  # no .at[] updates: Mosaic-friendly
     return sd, si, jnp.logical_or(sx, sel), cand, active
 
 
