@@ -82,3 +82,28 @@ def test_partition_affinity_and_routing(mesh):
     assert set(got) <= tenant3
     # the probe itself is the nearest
     assert got[0] == int(gids[tenants.index(3)])
+
+
+def test_sharded_snapshot_roundtrip(mesh, tmp_path):
+    from tpuvec.parallel.sharding import load_sharded, save_sharded
+
+    rng = np.random.default_rng(5)
+    n, d = 200, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    tenants = (np.arange(n) % 5).tolist()
+    idx = ShardedHnsw(mesh, d, metric=DistanceMetric.L2, params=PARAMS, cap_per_shard=128)
+    gids = idx.add(x, partitions=tenants, batch=32)
+
+    q = x[:4]
+    d1, i1 = idx.search(q, k=5)
+    path = str(tmp_path / "shard.npz")
+    save_sharded(idx, path)
+    idx2 = load_sharded(path, mesh)
+    d2, i2 = idx2.search(q, k=5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
+    # partition routing survives
+    d3, i3 = idx2.search(x[tenants.index(2)][None], k=3, partition=2)
+    got = [int(g) for g in np.asarray(i3)[0] if g >= 0]
+    tenant2 = {int(gids[r]) for r in range(n) if tenants[r] == 2}
+    assert got and set(got) <= tenant2

@@ -43,7 +43,7 @@ from tpuvec.ops.distance import internal_to_output
 from tpuvec.ops.topk import topk_smallest
 from tpuvec.utils.prng import sample_levels, sample_levels_np
 
-__all__ = ["ShardedHnsw", "make_mesh"]
+__all__ = ["ShardedHnsw", "make_mesh", "save_sharded", "load_sharded"]
 
 _INF = jnp.float32(jnp.inf)
 
@@ -294,3 +294,100 @@ class ShardedHnsw:
             self.config.metric, d, normalized=self.config.normalized
         )
         return jnp.where(jnp.isfinite(d), out, _INF), gi
+
+
+# ---------------------------------------------------------------------- #
+# persistence (mirrors store.snapshot for the sharded index)
+# ---------------------------------------------------------------------- #
+
+_SHARD_GRAPH_FIELDS = [
+    "vectors", "adj0", "adj0_dist", "levels", "upper_slot", "upper_nodes",
+    "upper_adj", "upper_dist", "entry_point", "entry_level", "count",
+    "upper_count",
+]
+
+
+def save_sharded(idx: ShardedHnsw, path: str) -> None:
+    """Snapshot a ShardedHnsw to one .npz (host-side, atomic rename)."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+    import dataclasses as _dc
+
+    meta = {
+        "version": 1,
+        "n_shards": idx.n_shards,
+        "axis": idx.axis,
+        "counts": idx._counts.tolist(),
+        "rr": idx._rr,
+        "config": {
+            f.name: (
+                getattr(idx.config, f.name).value
+                if hasattr(getattr(idx.config, f.name), "value")
+                else getattr(idx.config, f.name)
+            )
+            for f in _dc.fields(idx.config)
+        },
+        "partitions": [
+            [[int(s), repr(v)] for s, v in enumerate(idx._part_values[sh]) if v is not None]
+            for sh in range(idx.n_shards)
+        ],
+    }
+    arrays = {
+        f: np.asarray(getattr(idx.stacked, f)) for f in _SHARD_GRAPH_FIELDS
+    }
+    arrays["__meta__"] = np.frombuffer(_json.dumps(meta).encode(), dtype=np.uint8)
+    d = _os.path.dirname(_os.path.abspath(path)) or "."
+    fd, tmp = _tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with _os.fdopen(fd, "wb") as fh:
+            np.savez_compressed(fh, **arrays)
+        _os.replace(tmp, path)
+    except BaseException:
+        if _os.path.exists(tmp):
+            _os.unlink(tmp)
+        raise
+
+
+def load_sharded(path: str, mesh: Mesh) -> ShardedHnsw:
+    """Restore a ShardedHnsw onto a mesh with the same shard count."""
+    import ast as _ast
+    import json as _json
+
+    from tpuvec.types import DistanceMetric, IndexQuantization, VectorType
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = _json.loads(bytes(z["__meta__"]).decode())
+        cfgd = dict(meta["config"])
+        if mesh.devices.size != meta["n_shards"]:
+            raise ValueError(
+                f"snapshot has {meta['n_shards']} shards, mesh has {mesh.devices.size}"
+            )
+        idx = ShardedHnsw(
+            mesh,
+            cfgd["dim"],
+            metric=DistanceMetric.parse(cfgd["metric"]),
+            params=HnswParams(
+                m=cfgd["m"], max_m0=cfgd["max_m0"],
+                ef_construction=cfgd["ef_construction"],
+                ef_search=cfgd["ef_search"],
+                rng_seed=cfgd["rng_seed"],
+                simple_prune=cfgd["simple_prune"],
+            ),
+            cap_per_shard=cfgd["cap"],
+            quantization=IndexQuantization.parse(cfgd["quantization"]),
+            vec_type=VectorType.parse(cfgd["vec_type"]),
+        )
+        sharding = NamedSharding(mesh, P(idx.axis))
+        # every stacked leaf (including the [S] scalar stacks) shards on axis 0
+        fields = {
+            f: jax.device_put(jnp.asarray(z[f]), sharding)
+            for f in _SHARD_GRAPH_FIELDS
+        }
+        idx.stacked = GraphState(**fields)
+        idx._counts = np.asarray(meta["counts"], dtype=np.int64)
+        idx._rr = meta["rr"]
+        for sh, pairs in enumerate(meta["partitions"]):
+            for s, vrepr in pairs:
+                idx._part_values[sh, s] = _ast.literal_eval(vrepr)
+    return idx
