@@ -53,8 +53,9 @@ def main() -> None:
 
     from tpuvec.utils.data import synthetic_embeddings
 
-    data = synthetic_embeddings(n + qn, d, seed=0)
-    x, q = data[:n], data[n:]
+    reps = 5
+    data = synthetic_embeddings(n + qn * (reps + 1), d, seed=0)
+    x, q = data[:n], data[n : n + qn]
 
     params = HnswParams(m=32, max_m0=64, ef_construction=200, ef_search=128)
     cfg = config_for(
@@ -84,15 +85,24 @@ def main() -> None:
         )
         return hits / (qn * k)
 
+    # distinct query batches per rep: defeats any same-input result caching
+    rep_qs = [
+        prepare_vectors(cfg, jnp.asarray(data[n + (i + 1) * qn : n + (i + 2) * qn]))
+        for i in range(reps)
+    ]
+    import jax as _jax
+
+    _jax.block_until_ready(rep_qs)
+
     best = None
     for ef, n_expand in [(16, 1), (24, 1), (32, 1), (48, 1), (64, 1), (96, 1), (128, 1)]:
         d_h, i_h = search_graph(cfg, state, qp, k=k, ef=ef, n_expand=n_expand)
         i_h.block_until_ready()  # compile
-        reps = 5
         t0 = time.time()
-        for _ in range(reps):
-            d_h, i_h = search_graph(cfg, state, qp, k=k, ef=ef, n_expand=n_expand)
-        i_h.block_until_ready()
+        outs = []
+        for i in range(reps):
+            outs.append(search_graph(cfg, state, rep_qs[i], k=k, ef=ef, n_expand=n_expand)[1])
+        _jax.block_until_ready(outs)
         dt = (time.time() - t0) / reps
         qps = qn / dt
         r = recall(np.asarray(i_h))
@@ -105,9 +115,8 @@ def main() -> None:
         d_h, i_h = search_graph(cfg, state, qp, k=k, ef=256, n_expand=1)
         i_h.block_until_ready()
         t0 = time.time()
-        for _ in range(3):
-            d_h, i_h = search_graph(cfg, state, qp, k=k, ef=256, n_expand=1)
-        i_h.block_until_ready()
+        outs = [search_graph(cfg, state, rep_qs[i % reps], k=k, ef=256, n_expand=1)[1] for i in range(3)]
+        _jax.block_until_ready(outs)
         qps = qn / ((time.time() - t0) / 3)
         best = (qps, recall(np.asarray(i_h)), 256)
 
