@@ -245,3 +245,25 @@ class TestEnnTable:
         ).fetchall()
         assert [r[0] for r in rows] == [11, 12, 10]  # exact
         assert abs(rows[0][1] - 0.2) < 1e-4
+
+
+class TestEfOverride:
+    def test_ef_in_match_query(self):
+        import json as _json
+
+        db = connect()
+        db.execute(
+            "CREATE VIRTUAL TABLE f USING vec0(v float[8] hnsw(M=8, ef_construction=32, distance=l2))"
+        )
+        for i in range(40):
+            db.execute(
+                "INSERT INTO f(v) VALUES (vec_f32(?))",
+                [_json.dumps([float(i)] + [0.0] * 7)],
+            )
+        # per-query ef override (extension: the reference stores ef_search
+        # but exposes no per-query override, SURVEY §5 config note)
+        rows = db.execute(
+            "SELECT rowid FROM f WHERE v MATCH ? AND k = 3 AND ef = 16",
+            [_json.dumps([20.1] + [0.0] * 7)],
+        ).fetchall()
+        assert rows[0][0] == 21

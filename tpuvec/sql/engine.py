@@ -89,6 +89,7 @@ _SELECT_RE = re.compile(
 )
 _MATCH_RE = re.compile(r"(?P<col>[\w\"]+)\s+MATCH\s+(?P<val>\?|'[^']*')", re.IGNORECASE)
 _K_RE = re.compile(r"\bk\s*=\s*(?P<val>\?|\d+)", re.IGNORECASE)
+_EF_RE = re.compile(r"\bef\s*=\s*(?P<val>\?|\d+)", re.IGNORECASE)
 _EQ_RE = re.compile(r"(?P<col>[\w\"]+)\s*=\s*(?P<val>\?|'[^']*'|-?\d+(?:\.\d+)?)")
 _REBUILD_RE = re.compile(
     r"^\s*SELECT\s+vec_rebuild_hnsw\s*\((?P<args>.*)\)\s*;?\s*$", re.IGNORECASE
@@ -302,12 +303,14 @@ class Database:
                 else match.group("val")[1:-1]
             )
             k = int(self._take_param(kq.group("val"), params)) if kq else 10
+            efq = _EF_RE.search(where)
+            ef = int(self._take_param(efq.group("val"), params)) if efq else None
             # extra equality filters (partition / metadata)
             partition = None
             predicate_eqs = {}
             for em in _EQ_RE.finditer(where):
                 col = em.group("col").strip('"')
-                if col.lower() == "k" or col == match.group("col").strip('"'):
+                if col.lower() in ("k", "ef") or col == match.group("col").strip('"'):
                     continue
                 val = self._take_param(em.group("val"), params)
                 if col == table.partition_col:
@@ -321,7 +324,7 @@ class Database:
 
             col = match.group("col").strip('"')
             results = table.knn(
-                col, qval, k=k, partition=partition, predicate=predicate
+                col, qval, k=k, ef=ef, partition=partition, predicate=predicate
             )
             if limit:
                 n = int(self._take_param(limit, params))
