@@ -107,3 +107,30 @@ def test_sharded_snapshot_roundtrip(mesh, tmp_path):
     got = [int(g) for g in np.asarray(i3)[0] if g >= 0]
     tenant2 = {int(gids[r]) for r in range(n) if tenants[r] == 2}
     assert got and set(got) <= tenant2
+
+
+def test_thousand_partitions(mesh):
+    # BASELINE config 5 shape: 1K partition keys routed across the mesh
+    rng = np.random.default_rng(11)
+    n, d, n_parts = 2000, 16, 1000
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    tenants = (np.arange(n) % n_parts).tolist()
+    idx = ShardedHnsw(
+        mesh, d, metric=DistanceMetric.L2,
+        params=HnswParams(m=4, max_m0=8, ef_construction=16, ef_search=16),
+        cap_per_shard=512,
+    )
+    gids = idx.add(x, partitions=tenants, batch=64)
+    # each tenant's rows co-locate on its shard
+    cap = idx.config.cap
+    for t in (0, 137, 999):
+        shard = idx.shard_of_partition(t)
+        rows = [i for i in range(n) if tenants[i] == t]
+        assert rows and all(gids[r] // cap == shard for r in rows)
+    # filtered queries return only the tenant's rows (2 rows per tenant)
+    for t in (3, 512, 998):
+        probe = x[tenants.index(t)]
+        _, ids = idx.search(probe[None], k=2, partition=t)
+        got = {int(g) for g in np.asarray(ids)[0] if g >= 0}
+        want = {int(gids[r]) for r in range(n) if tenants[r] == t}
+        assert got == want
