@@ -232,3 +232,52 @@ class TestElementTypes:
         np.testing.assert_array_equal(row.as_bits(), bits[2])
         res = t.knn("v", bits[7], k=1)
         assert res[0].rowid == 8 and res[0].distance == 0.0
+
+
+class TestChurn:
+    def test_interleaved_insert_delete_update(self, rng):
+        """Heavy churn: repeated delete/update/insert cycles must keep the
+        index consistent and searchable (the reference's update path is
+        delete + reinsert, src/vtab.rs:1860-2016 — same here)."""
+        t = small_table()
+        x = rand_rows(rng, 120)
+        ids = t.insert_many([{"emb": v} for v in x[:80]])
+        live = {ids[i]: i for i in range(80)}
+
+        for cycle in range(3):
+            # delete a slice
+            victims = sorted(live)[cycle * 7 : cycle * 7 + 10]
+            t.delete_many(victims)
+            for v in victims:
+                del live[v]
+            # update a slice to new vectors
+            for j, rid in enumerate(sorted(live)[:5]):
+                new_idx = 80 + cycle * 10 + j
+                t.update(rid, {"emb": x[new_idx]})
+                live[rid] = new_idx
+            # insert some fresh rows
+            for j in range(5):
+                new_idx = 80 + cycle * 10 + 5 + j
+                rid = t.insert({"emb": x[new_idx]})
+                live[rid] = new_idx
+            t.flush()
+            assert len(t) == len(live)
+            assert t.integrity_check() == []
+
+        # graph-searches never return dead rowids, and exact search is
+        # always right; heavy churn can legitimately orphan nodes in any
+        # HNSW (edges to deleted neighbors are scrubbed), which is exactly
+        # what the reference's vec_rebuild_hnsw repairs — verify that too
+        for rid in list(live)[::6]:
+            res = t.knn("emb", x[live[rid]], k=3)
+            assert all(r.rowid in live for r in res)
+            exact = t.knn("emb", x[live[rid]], k=1, exact=True)
+            assert exact[0].rowid == rid and exact[0].distance < 1e-2
+
+        t.rebuild("emb")
+        assert t.integrity_check() == []
+        for rid in list(live)[::6]:
+            res = t.knn("emb", x[live[rid]], k=3)
+            assert res[0].rowid == rid, (rid, res)
+            assert res[0].distance < 1e-2
+            assert all(r.rowid in live for r in res)
