@@ -231,17 +231,26 @@ void* tvs_reader_open(const char* path) {
     for (uint64_t i = 0; i < count; ++i) {
       Section s;
       uint16_t nl;
+      // Every field is bounds-checked before the read: a truncated or
+      // CRC-colliding directory must fail cleanly, never read past the mmap.
       if (p + 2 > end) { g_error = "corrupt directory"; goto fail; }
       memcpy(&nl, p, 2); p += 2;
+      if (p + nl + 2 > end) { g_error = "corrupt directory"; goto fail; }
       s.name.assign(reinterpret_cast<const char*>(p), nl); p += nl;
       s.dtype = *p++;
       uint8_t ndim = *p++;
+      if (ndim > 8) { g_error = "corrupt directory"; goto fail; }
+      if (p + 8 * static_cast<size_t>(ndim) + 20 > end) {
+        g_error = "corrupt directory"; goto fail;
+      }
       s.shape.resize(ndim);
       for (int j = 0; j < ndim; ++j) { memcpy(&s.shape[j], p, 8); p += 8; }
       memcpy(&s.byte_len, p, 8); p += 8;
       memcpy(&s.offset, p, 8); p += 8;
       memcpy(&s.crc, p, 4); p += 4;
-      if (s.offset + s.byte_len > r->map_len) { g_error = "corrupt section"; goto fail; }
+      if (s.offset > r->map_len || s.byte_len > r->map_len - s.offset) {
+        g_error = "corrupt section"; goto fail;
+      }
       r->sections.push_back(std::move(s));
     }
   }

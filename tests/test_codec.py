@@ -128,3 +128,14 @@ class TestOps:
     def test_slice_bits(self):
         v = Vector.from_bits([1, 0, 1, 1, 0, 0, 1, 0, 1]).slice(2, 9)
         assert list(v.as_bits()) == [1, 1, 0, 0, 1, 0, 1]
+
+
+class TestInt8Saturation:
+    def test_from_json_saturates_like_rust_as(self):
+        # Rust float->int `as i8` saturates (src/vector.rs:251-254):
+        # 300 -> 127, -300 -> -128, NaN -> 0, 3.9 -> 3 (trunc toward zero)
+        from tpuvec.codec import Vector
+        from tpuvec.types import VectorType
+
+        v = Vector.from_json("[300, -300, 3.9, -3.9, 127, -128]", VectorType.INT8)
+        assert v.as_i8().tolist() == [127, -128, 3, -3, 127, -128]

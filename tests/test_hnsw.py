@@ -256,3 +256,72 @@ def test_int8_index_quantization_recall():
     )
     r = recall_at_k(np.asarray(i_h), np.asarray(gt_i))
     assert r >= 0.90, f"int8 recall@10 = {r}"
+
+
+def test_int8_raw_cosine_recall():
+    # vec_type=INT8 + COSINE stores *raw* int8 and runs 1-sim internally
+    # (no normalize trick) — the config where heuristic_select's pairwise
+    # matrix must be in cosine units, not L2^2 (reference int8 cosine:
+    # src/vector.rs:554-575 + src/distance/scalar.rs:42-52).
+    from tpuvec.types import VectorType
+
+    rng = np.random.default_rng(9)
+    n, d, k = 600, 128, 10
+    x = rng.integers(-100, 100, size=(n, d)).astype(np.int8)
+    q = x[rng.integers(0, n, 16)].astype(np.float32)
+    q += 5.0 * rng.standard_normal((16, d)).astype(np.float32)
+    q = np.clip(np.trunc(q), -128, 127).astype(np.int8)
+    cfg = config_for(
+        d,
+        metric=DistanceMetric.COSINE,
+        vec_type=VectorType.INT8,
+        cap=1024,
+        params=HnswParams(m=16, max_m0=32, ef_construction=100, ef_search=100),
+    )
+    assert not cfg.normalized and cfg.graph_metric is DistanceMetric.COSINE
+    xp = np.asarray(prepare_vectors(cfg, jnp.asarray(x)))
+    state = build_graph(cfg, xp, max_batch=128)
+    qp = prepare_vectors(cfg, jnp.asarray(q))
+    _, i_h = search(cfg, state, qp, k=k)
+
+    gt_d, gt_i = bruteforce_knn(
+        jnp.asarray(q, dtype=jnp.float32),
+        jnp.asarray(x, dtype=jnp.float32),
+        jnp.ones(n, bool),
+        metric=DistanceMetric.COSINE,
+        k=k,
+    )
+    r = recall_at_k(np.asarray(i_h), np.asarray(gt_i))
+    assert r >= 0.95, f"raw-cosine int8 recall@10 = {r}"
+
+
+def test_l1_graph_recall():
+    # L1 graphs use L1 internal distances; the diversity heuristic's
+    # candidate-pairwise matrix must be L1 too (reference L1 kernel:
+    # src/distance/scalar.rs:25-38).
+    rng = np.random.default_rng(13)
+    n, d, k = 600, 64, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    cfg = config_for(
+        d,
+        metric=DistanceMetric.L1,
+        cap=1024,
+        params=HnswParams(m=16, max_m0=32, ef_construction=100, ef_search=100),
+    )
+    assert cfg.graph_metric is DistanceMetric.L1
+    xp = np.asarray(prepare_vectors(cfg, jnp.asarray(x)))
+    state = build_graph(cfg, xp, max_batch=128)
+    qp = prepare_vectors(cfg, jnp.asarray(q))
+    d_h, i_h = search(cfg, state, qp, k=k)
+
+    gt_d, gt_i = bruteforce_knn(
+        jnp.asarray(q), jnp.asarray(x), jnp.ones(n, bool),
+        metric=DistanceMetric.L1, k=k,
+    )
+    r = recall_at_k(np.asarray(i_h), np.asarray(gt_i))
+    assert r >= 0.95, f"L1 recall@10 = {r}"
+    # user distances are true L1
+    top = np.asarray(i_h)[:, 0]
+    expect = np.abs(q - x[top]).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(d_h)[:, 0], expect, rtol=1e-4)

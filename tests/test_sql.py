@@ -267,3 +267,51 @@ class TestEfOverride:
             [_json.dumps([20.1] + [0.0] * 7)],
         ).fetchall()
         assert rows[0][0] == 21
+
+class TestPlannerRobustness:
+    def make_db(self):
+        db = connect()
+        db.execute(
+            "CREATE VIRTUAL TABLE t USING vec0("
+            "e float[8] hnsw(M=8, ef_construction=32, distance=l2), label TEXT)"
+        )
+        return db
+
+    def test_param_binding_textual_order(self):
+        # '?' placeholders must bind by textual position, not clause type:
+        # here the filter '?' comes before k = ?.
+        db = self.make_db()
+        for i in range(12):
+            v = [float(i)] + [0.0] * 7
+            db.execute(
+                "INSERT INTO t(e, label) VALUES (vec_f32(?), ?)",
+                [json.dumps(v), "even" if i % 2 == 0 else "odd"],
+            )
+        rows = db.execute(
+            "SELECT rowid FROM t WHERE e MATCH ? AND label = ? AND k = ?",
+            [json.dumps([3.8] + [0.0] * 7), "odd", 3],
+        ).fetchall()
+        got = [r[0] for r in rows]
+        assert len(got) == 3 and all(g % 2 == 0 for g in got)
+        # filter '?' before MATCH '?' too
+        rows = db.execute(
+            "SELECT rowid FROM t WHERE label = ? AND e MATCH ? AND k = ?",
+            ["odd", json.dumps([3.8] + [0.0] * 7), 3],
+        ).fetchall()
+        assert [r[0] for r in rows] == got
+
+    def test_unsupported_statement_raises(self):
+        # joins/subqueries on vec0 tables must raise a clear error, not
+        # fall through to stdlib sqlite3 (which has no such table)
+        from tpuvec.types import InvalidParameter
+
+        db = self.make_db()
+        db.execute("INSERT INTO t(e) VALUES (vec_f32('[1,0,0,0,0,0,0,0]'))")
+        with pytest.raises(InvalidParameter, match="unsupported statement"):
+            db.execute("SELECT a.rowid FROM t a JOIN t b ON a.rowid = b.rowid")
+        with pytest.raises(InvalidParameter, match="unsupported statement"):
+            db.execute("SELECT rowid FROM (SELECT * FROM t)")
+        # ordinary SQL on non-vec0 tables still passes through
+        db.execute("CREATE TABLE plain(x INTEGER)")
+        db.execute("INSERT INTO plain VALUES (7)")
+        assert db.execute("SELECT x FROM plain").fetchone() == (7,)

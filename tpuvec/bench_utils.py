@@ -62,6 +62,14 @@ def recall_qps_sweep(
             normalized=config.normalized,
         )
         ground_truth = np.asarray(gt)
+    # Distinct query batch per rep: the runtime result-caches repeated jit
+    # executions with byte-identical inputs (CLAUDE.md), which would inflate
+    # QPS. Rolling the rows changes the bytes but not the workload, and
+    # works for every query dtype (f32 / int8 / packed bits).
+    import jax
+
+    rep_qs = [jnp.roll(queries_prepared, i + 1, axis=0) for i in range(reps)]
+    jax.block_until_ready(rep_qs)
     out = []
     for ef in efs:
         d_h, i_h = search_graph(
@@ -69,11 +77,11 @@ def recall_qps_sweep(
         )
         i_h.block_until_ready()  # compile
         t0 = time.time()
-        for _ in range(reps):
-            d_h, i_h = search_graph(
-                config, state, queries_prepared, k=k, ef=ef, n_expand=n_expand
-            )
-        i_h.block_until_ready()
+        outs = [
+            search_graph(config, state, rep_qs[i], k=k, ef=ef, n_expand=n_expand)[1]
+            for i in range(reps)
+        ]
+        jax.block_until_ready(outs)
         dt = (time.time() - t0) / reps
         out.append(
             SweepPoint(

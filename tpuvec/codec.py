@@ -88,10 +88,11 @@ class Vector:
         if vec_type is VectorType.FLOAT32:
             return cls.from_f32(values)
         if vec_type is VectorType.INT8:
-            # Match Rust `as i8` semantics closely enough: truncate toward zero
-            # then wrap into int8 range.
+            # Rust float->int `as i8` saturates: 300 -> 127, -300 -> -128,
+            # NaN -> 0 (src/vector.rs:251-254).
             arr = np.asarray(values, dtype=np.float64)
-            arr = np.trunc(arr).astype(np.int64).astype(np.int8)
+            arr = np.where(np.isnan(arr), 0.0, np.trunc(arr))
+            arr = np.clip(arr, -128, 127).astype(np.int8)
             return cls.from_i8(arr)
         return cls.from_bits([1 if v else 0 for v in values])
 

@@ -86,15 +86,32 @@ def _prune_scan(
 
 
 def _pairwise_cands(config: HnswConfig, cvecs: jnp.ndarray) -> jnp.ndarray:
-    """Pairwise internal distances among candidates: [nb, C, Dp] -> [nb, C, C]."""
-    if cvecs.dtype == jnp.int8:
-        ci = cvecs.astype(jnp.float32)
-    else:
-        ci = cvecs.astype(jnp.float32)
+    """Pairwise *internal-metric* distances among candidates:
+    [nb, C, Dp] -> [nb, C, C].
+
+    Must match the units of the beam's cand_d (config.graph_metric):
+    heuristic_select compares `cand_d[:, j] < mind[:, j]` directly, so a
+    mismatched scale (e.g. L2^2 here vs 1-sim in cand_d for raw-cosine
+    int8 graphs) silently degenerates the diversity test."""
+    from tpuvec.types import DistanceMetric
+
+    ci = cvecs.astype(jnp.float32)
+    metric = config.graph_metric
+    if metric is DistanceMetric.L1:
+        # VPU broadcast-reduce; XLA fuses to the [nb, C, C] output without
+        # materializing [nb, C, C, D]. C is bounded (<=192) by the caller.
+        return jnp.sum(jnp.abs(ci[:, :, None, :] - ci[:, None, :, :]), axis=-1)
     dots = jnp.einsum(
         "bcd,bed->bce", ci, ci, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+    if metric is DistanceMetric.COSINE and not config.normalized:
+        # raw cosine (int8 graphs): internal distance is 1 - sim
+        norms = jnp.sqrt(jnp.sum(ci * ci, axis=-1))
+        denom = norms[:, :, None] * norms[:, None, :]
+        sim = jnp.where(denom > 0, dots / jnp.where(denom > 0, denom, 1.0), 0.0)
+        return 1.0 - sim
+    # L2 / normalized cosine: squared L2
     norms = jnp.sum(ci * ci, axis=-1)
     return jnp.maximum(norms[:, :, None] + norms[:, None, :] - 2.0 * dots, 0.0)
 

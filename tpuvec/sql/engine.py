@@ -164,6 +164,22 @@ class Database:
         if m and m.group("name").strip('"') in self.tables:
             return self._select(m, params)
 
+        # A statement that references a vec0 table but matched no planner
+        # shape must NOT fall through to stdlib sqlite3 (which has no such
+        # table): raise a clear unsupported-statement error instead. The
+        # reference composes with arbitrary SQL through the vtab interface
+        # (src/vtab.rs:964-1028); the planner's supported surface is the
+        # reference's best_index statement shapes.
+        for tname in self.tables:
+            if re.search(rf"(?<!\w){re.escape(tname)}(?!\w)", sql):
+                raise InvalidParameter(
+                    f"unsupported statement for vec0 table '{tname}': the "
+                    "planner handles CREATE VIRTUAL TABLE / INSERT / UPDATE "
+                    "/ DELETE / single-table SELECT (MATCH + k/ef/filters, "
+                    "rowid lookup, scan) / DROP / vec_rebuild_hnsw — got: "
+                    f"{sql.strip()[:200]}"
+                )
+
         cur = self.sqlite.execute(sql, params)
         desc = [d[0] for d in cur.description] if cur.description else []
         return Cursor(cur.fetchall(), desc)
@@ -296,23 +312,36 @@ class Database:
         match = _MATCH_RE.search(where)
         if match:
             kq = _K_RE.search(where)
-            # consume params in textual order: MATCH ? before k = ?
-            qval = (
-                self._take_param(match.group("val"), params)
-                if match.group("val") == "?"
-                else match.group("val")[1:-1]
-            )
-            k = int(self._take_param(kq.group("val"), params)) if kq else 10
             efq = _EF_RE.search(where)
-            ef = int(self._take_param(efq.group("val"), params)) if efq else None
+            eq_ms = [
+                em
+                for em in _EQ_RE.finditer(where)
+                if em.group("col").strip('"').lower() not in ("k", "ef")
+                and em.group("col").strip('"') != match.group("col").strip('"')
+            ]
+            # Bind every token at its *textual* position: clause-type order
+            # (MATCH, then k, then filters) misbinds e.g.
+            # "WHERE e MATCH ? AND label = ? AND k = ?".
+            slots = [(match.start("val"), "q", match.group("val"))]
+            if kq:
+                slots.append((kq.start("val"), "k", kq.group("val")))
+            if efq:
+                slots.append((efq.start("val"), "ef", efq.group("val")))
+            for j, em in enumerate(eq_ms):
+                slots.append((em.start("val"), f"eq{j}", em.group("val")))
+            bound = {
+                key: self._take_param(tok, params)
+                for _, key, tok in sorted(slots)
+            }
+            qval = bound["q"]
+            k = int(bound["k"]) if kq else 10
+            ef = int(bound["ef"]) if efq else None
             # extra equality filters (partition / metadata)
             partition = None
             predicate_eqs = {}
-            for em in _EQ_RE.finditer(where):
+            for j, em in enumerate(eq_ms):
                 col = em.group("col").strip('"')
-                if col.lower() in ("k", "ef") or col == match.group("col").strip('"'):
-                    continue
-                val = self._take_param(em.group("val"), params)
+                val = bound[f"eq{j}"]
                 if col == table.partition_col:
                     partition = val
                 else:
