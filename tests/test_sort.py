@@ -50,3 +50,64 @@ def test_merge_keeps_smallest(rng):
     alld = np.concatenate([bd, nd], axis=1)
     order = np.argsort(alld, axis=1, kind="stable")[:, :ef]
     np.testing.assert_array_equal(np.asarray(mx), np.take_along_axis(allx, order, 1))
+
+
+@pytest.mark.parametrize("ef,w", [(16, 64), (64, 64), (256, 128), (128, 7)])
+def test_merge_sorted_any_width(rng, ef, w):
+    from tpuvec.ops.sort import bitonic_topk_merge_sorted
+
+    bd = np.sort(rng.standard_normal((4, ef)).astype(np.float32), axis=1)
+    bi = rng.integers(0, 9999, (4, ef)).astype(np.int32)
+    bx = rng.random((4, ef)) > 0.5
+    nd = rng.standard_normal((4, w)).astype(np.float32)
+    ni = rng.integers(0, 9999, (4, w)).astype(np.int32)
+    md, mi, mx = jax.jit(bitonic_topk_merge_sorted)(
+        *(jnp.asarray(a) for a in (bd, bi, bx, nd, ni))
+    )
+    alld = np.concatenate([bd, nd], axis=1)
+    alli = np.concatenate([bi, ni], axis=1)
+    allx = np.concatenate([bx, np.zeros((4, w), bool)], axis=1)
+    order = np.argsort(alld, axis=1, kind="stable")[:, :ef]
+    np.testing.assert_allclose(np.asarray(md), np.take_along_axis(alld, order, 1))
+    np.testing.assert_array_equal(np.asarray(mi), np.take_along_axis(alli, order, 1))
+    np.testing.assert_array_equal(np.asarray(mx), np.take_along_axis(allx, order, 1))
+
+
+def test_merge_sorted_with_inf(rng):
+    from tpuvec.ops.sort import bitonic_topk_merge_sorted
+
+    ef, w = 32, 48
+    bd = np.sort(rng.standard_normal((3, ef)).astype(np.float32), axis=1)
+    bd[:, 20:] = np.inf
+    bi = np.where(np.isfinite(bd), 7, -1).astype(np.int32)
+    bx = np.zeros((3, ef), bool)
+    nd = rng.standard_normal((3, w)).astype(np.float32)
+    nd[:, 10:] = np.inf
+    ni = np.where(np.isfinite(nd), 9, -1).astype(np.int32)
+    md, mi, mx = bitonic_topk_merge_sorted(
+        *(jnp.asarray(a) for a in (bd, bi, bx, nd, ni))
+    )
+    md = np.asarray(md)
+    expect = np.sort(np.concatenate([bd, nd], axis=1), axis=1)[:, :ef]
+    np.testing.assert_allclose(md, expect)
+    assert np.all(np.asarray(mi)[~np.isfinite(md)] == -1)
+
+
+def test_descending_sort(rng):
+    k = rng.standard_normal((4, 64)).astype(np.float32)
+    (sk,) = bitonic_sort(jnp.asarray(k), descending=True)
+    np.testing.assert_allclose(np.asarray(sk), -np.sort(-k, axis=1))
+
+
+@pytest.mark.parametrize("width,k", [(64, 32), (100, 10), (7, 7)])
+def test_bitonic_smallest(rng, width, k):
+    from tpuvec.ops.sort import bitonic_smallest
+
+    d = rng.standard_normal((5, width)).astype(np.float32)
+    i = rng.integers(0, 9999, (5, width)).astype(np.int32)
+    sd, si = jax.jit(lambda a, b: bitonic_smallest(a, b, k=k))(
+        jnp.asarray(d), jnp.asarray(i)
+    )
+    order = np.argsort(d, axis=1, kind="stable")[:, :k]
+    np.testing.assert_allclose(np.asarray(sd), np.take_along_axis(d, order, 1))
+    np.testing.assert_array_equal(np.asarray(si), np.take_along_axis(i, order, 1))

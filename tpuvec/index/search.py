@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from tpuvec.index.graph import GraphState, HnswConfig
 from tpuvec.ops.distance import gathered_internal, internal_to_output
-from tpuvec.ops.sort import bitonic_topk_merge
+from tpuvec.ops.sort import bitonic_topk_merge_sorted
 
 __all__ = ["search_graph", "search", "descend_to_level1", "default_max_iters"]
 
@@ -178,8 +178,6 @@ def beam_search_level0(
     m0 = config.max_m0
     w_raw = e * m0
     efp = _next_pow2(ef)
-    # total merge width (beam + new block) must be a power of two
-    wp = _next_pow2(efp + w_raw) - efp
 
     beam_d = jnp.full((b, efp), _INF, dtype=jnp.float32)
     beam_i = jnp.full((b, efp), -1, dtype=jnp.int32)
@@ -237,11 +235,10 @@ def beam_search_level0(
 
         nd = _node_dist(config, state, q, jnp.where(fresh, nbrs, -1))  # [B, W]
         ni = jnp.where(fresh, nbrs, -1)
-        if wp != w_raw:
-            nd = jnp.pad(nd, ((0, 0), (0, wp - w_raw)), constant_values=_INF)
-            ni = jnp.pad(ni, ((0, 0), (0, wp - w_raw)), constant_values=-1)
 
-        beam_d, beam_i, beam_x = bitonic_topk_merge(beam_d, beam_i, beam_x, nd, ni)
+        beam_d, beam_i, beam_x = bitonic_topk_merge_sorted(
+            beam_d, beam_i, beam_x, nd, ni
+        )
         # padding slots (inf) must never be frontier
         beam_x = jnp.logical_or(beam_x, jnp.logical_not(jnp.isfinite(beam_d)))
         nsel, nactive = frontier(beam_d, beam_i, beam_x)
@@ -272,9 +269,6 @@ def beam_search_level0(
             nbrs = state.adj0[jnp.maximum(cand, 0)]
             nbrs = jnp.where(ok[:, :, None], nbrs, -1).reshape(b, w_raw)
             nd = _node_dist(config, state, q, nbrs)
-            if wp != w_raw:
-                nd = jnp.pad(nd, ((0, 0), (0, wp - w_raw)), constant_values=_INF)
-                nbrs = jnp.pad(nbrs, ((0, 0), (0, wp - w_raw)), constant_values=-1)
             beam_d, beam_i, beam_x, cand, active = beam_update(
                 beam_d, beam_i, beam_x, nbrs, nd,
                 n_expand=e, interpret=interpret,

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpuvec.ops.sort import bitonic_sort
+from tpuvec.ops.sort import bitonic_topk_merge_sorted
 
 
 def _cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
@@ -71,14 +71,8 @@ def _beam_update_math(beam_d, beam_i, beam_x, nbrs, nd, n_expand):
     ndm = jnp.where(fresh, nd, _INF)
     nim = jnp.where(fresh, nbrs, -1)
 
-    # merge: bitonic over [B, EF + W]
-    all_d = jnp.concatenate([beam_d, ndm], axis=1)
-    all_i = jnp.concatenate([beam_i, nim], axis=1)
-    all_x = jnp.concatenate(
-        [beam_x, jnp.zeros((b, w), dtype=beam_x.dtype)], axis=1
-    )
-    sd, si, sx = bitonic_sort(all_d, all_i, all_x)
-    sd, si, sx = sd[:, :efp], si[:, :efp], sx[:, :efp]
+    # merge: sorted-beam bitonic merge (split + log-stages, ops/sort.py)
+    sd, si, sx = bitonic_topk_merge_sorted(beam_d, beam_i, beam_x, ndm, nim)
     sx = jnp.logical_or(sx.astype(jnp.bool_), jnp.logical_not(jnp.isfinite(sd)))
 
     # next frontier: first E unexpanded of the (sorted) beam
