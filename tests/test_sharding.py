@@ -134,3 +134,98 @@ def test_thousand_partitions(mesh):
         got = {int(g) for g in np.asarray(ids)[0] if g >= 0}
         want = {int(gids[r]) for r in range(n) if tenants[r] == t}
         assert got == want
+
+
+def test_sharded_delete_update_churn(mesh):
+    """CRUD parity on the sharded index (mirrors tests/test_table.py's
+    churn test; VecTable semantics per src/vtab.rs:1326-1407,1860-2016)."""
+    rng = np.random.default_rng(7)
+    n, d, k = 400, 32, 5
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = ShardedHnsw(
+        mesh, d, metric=DistanceMetric.L2, params=PARAMS, cap_per_shard=128
+    )
+    gids = idx.add(x, batch=32)
+    assert len(idx) == n
+
+    # delete a third
+    dead = gids[::3]
+    idx.delete(dead)
+    assert len(idx) == n - dead.size
+    with pytest.raises(KeyError):
+        idx.delete([int(dead[0])])
+    # deleted ids never come back from search
+    d_s, i_s = idx.search(x[:16], k=k)
+    live_set = set(int(g) for j, g in enumerate(gids) if j % 3 != 0)
+    for b in range(16):
+        got = [int(g) for g in np.asarray(i_s)[b] if g >= 0]
+        assert got and set(got) <= live_set
+        if b % 3 != 0:
+            assert int(gids[b]) in got  # self-query still finds itself
+
+    # slots recycle: new adds reuse freed capacity (round-robin routing
+    # may not land exactly on the shards with free slots, so only most
+    # ids recycle) and never collide with live rows
+    y = rng.standard_normal((dead.size, d)).astype(np.float32)
+    gids2 = idx.add(y, batch=32)
+    assert len(idx) == n
+    assert not (set(gids2.tolist()) & live_set)
+    recycled = len(set(gids2.tolist()) & set(dead.tolist()))
+    assert recycled >= dead.size // 2
+
+    # update in place: same gid now answers for the new vector
+    upd = gids2[:8]
+    z = rng.standard_normal((8, d)).astype(np.float32)
+    idx.update(upd, z)
+    d_u, i_u = idx.search(z, k=1)
+    got = [int(g) for g in np.asarray(i_u)[:, 0]]
+    assert got == [int(g) for g in upd]
+
+
+def test_sharded_partition_crud_and_snapshot(mesh, tmp_path):
+    from tpuvec.parallel import save_sharded, load_sharded
+
+    rng = np.random.default_rng(8)
+    n, d = 300, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    tenants = [f"t{i % 6}" for i in range(n)]
+    idx = ShardedHnsw(
+        mesh, d, metric=DistanceMetric.L2,
+        params=HnswParams(m=4, max_m0=8, ef_construction=16, ef_search=16),
+        cap_per_shard=256,
+    )
+    gids = idx.add(x, partitions=tenants, batch=32)
+    # delete one tenant's rows entirely
+    rows_t3 = [i for i in range(n) if tenants[i] == "t3"]
+    idx.delete(gids[rows_t3])
+    _, i_s = idx.search(x[rows_t3[0]][None], k=3, partition="t3")
+    assert all(g < 0 for g in np.asarray(i_s)[0])  # tenant gone
+
+    path = str(tmp_path / "sharded.npz")
+    save_sharded(idx, path)
+    idx2 = load_sharded(path, mesh)
+    assert len(idx2) == len(idx)
+    # partition filters survive the roundtrip
+    _, i1 = idx.search(x[:4], k=3, partition="t1")
+    _, i2 = idx2.search(x[:4], k=3, partition="t1")
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    # free slots survive: partition-routed adds after load recycle the
+    # tenant's freed slots exactly
+    y = rng.standard_normal((len(rows_t3), d)).astype(np.float32)
+    gids2 = idx2.add(y, partitions=["t3"] * len(rows_t3), batch=32)
+    assert set(gids2.tolist()) == set(gids[rows_t3].tolist())
+
+
+def test_save_sharded_rejects_non_json_partition(mesh, tmp_path):
+    from tpuvec.parallel import save_sharded
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((8, 16)).astype(np.float32)
+    idx = ShardedHnsw(
+        mesh, 16, metric=DistanceMetric.L2,
+        params=HnswParams(m=4, max_m0=8, ef_construction=16, ef_search=16),
+        cap_per_shard=64,
+    )
+    idx.add(x, partitions=[b"blob"] * 8, batch=8)  # bytes: hashable, not JSON
+    with pytest.raises(ValueError, match="JSON-serializable"):
+        save_sharded(idx, str(tmp_path / "bad.npz"))

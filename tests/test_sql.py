@@ -85,7 +85,8 @@ class TestDdl:
                 chunk_size=1024
             )"""
         )
-        name, cols, index_type = out
+        name, cols, index_type, options = out
+        assert options == {}
         assert name == "docs"
         assert index_type is IndexType.HNSW
         emb = cols[0]
@@ -98,20 +99,31 @@ class TestDdl:
         assert kinds == ["vector", "partition", "aux", "metadata"]
 
     def test_default_metric_cosine_and_no_hnsw(self):
-        _, cols, _ = parse_create_vtab(
+        _, cols, _, _ = parse_create_vtab(
             "CREATE VIRTUAL TABLE t USING vec0(v float[4])"
         )
         assert cols[0].metric is DistanceMetric.COSINE
         assert not cols[0].hnsw
 
     def test_enn_type(self):
-        _, _, it = parse_create_vtab(
+        _, _, it, _ = parse_create_vtab(
             "CREATE VIRTUAL TABLE t USING vec0(v float[4], type=enn)"
         )
         assert it is IndexType.ENN
 
     def test_not_vec0(self):
         assert parse_create_vtab("CREATE TABLE t(x)") is None
+
+    def test_capacity_option(self):
+        _, _, _, opts = parse_create_vtab(
+            "CREATE VIRTUAL TABLE t USING vec0(v float[4], capacity=50000)"
+        )
+        assert opts == {"capacity": 50000}
+        db = connect()
+        db.execute(
+            "CREATE VIRTUAL TABLE c USING vec0(v float[4] hnsw(M=4), capacity=2000)"
+        )
+        assert db.table("c").cap >= 2000
 
 
 class TestDatabase:

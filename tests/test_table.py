@@ -13,6 +13,7 @@ from tpuvec.types import (
     DimensionMismatch,
     DistanceMetric,
     IndexType,
+    InvalidParameter,
     InvalidState,
     VectorType,
 )
@@ -281,3 +282,121 @@ class TestChurn:
             assert res[0].rowid == rid, (rid, res)
             assert res[0].distance < 1e-2
             assert all(r.rowid in live for r in res)
+
+
+class TestBatchedAndFiltered:
+    def test_knn_many_matches_single(self):
+        rng = np.random.default_rng(21)
+        x = rng.standard_normal((300, 24)).astype(np.float32)
+        t = VecTable(
+            "b",
+            [ColumnSpec.vector("emb", 24, metric=DistanceMetric.L2, params=PARAMS)],
+        )
+        t.insert_many([{"emb": v} for v in x])
+        qs = [x[i] for i in (3, 77, 150, 299, 8)]
+        batched = t.knn_many("emb", qs, k=4)
+        assert len(batched) == 5
+        for q, res in zip(qs, batched):
+            single = t.knn("emb", q, k=4)
+            assert [r.rowid for r in res] == [r.rowid for r in single]
+
+    def test_equality_filters_vectorized(self):
+        rng = np.random.default_rng(22)
+        x = rng.standard_normal((200, 16)).astype(np.float32)
+        t = VecTable(
+            "f",
+            [
+                ColumnSpec.vector("emb", 16, metric=DistanceMetric.L2, params=PARAMS),
+                ColumnSpec.metadata("cat"),
+                ColumnSpec.metadata("lang"),
+            ],
+        )
+        t.insert_many(
+            [
+                {"emb": v, "cat": "odd" if i % 2 else "even", "lang": i % 3}
+                for i, v in enumerate(x)
+            ]
+        )
+        res = t.knn("emb", x[10], k=5, filters={"cat": "even", "lang": 1})
+        assert res
+        for r in res:
+            assert (r.rowid - 1) % 2 == 0 and (r.rowid - 1) % 3 == 1
+        # unseen value matches nothing
+        assert t.knn("emb", x[0], k=3, filters={"cat": "nope"}) == []
+
+    def test_inbeam_filtered_matches_exact(self):
+        """Moderate selectivity routes through the in-beam filtered search
+        (mask.sum() > 50k); results must match the exact masked scan."""
+        rng = np.random.default_rng(23)
+        n = 1200
+        x = rng.standard_normal((n, 24)).astype(np.float32)
+        t = VecTable(
+            "g",
+            [
+                ColumnSpec.vector(
+                    "emb", 24, metric=DistanceMetric.L2,
+                    params=HnswParams(m=16, max_m0=32, ef_construction=128, ef_search=256),
+                ),
+                ColumnSpec.metadata("half"),
+            ],
+        )
+        t.insert_many([{"emb": v, "half": i % 2} for i, v in enumerate(x)])
+        assert int(t._filter_mask(filters={"half": 0}).sum()) == n // 2 > 50 * 3
+        hits = total = 0
+        for probe in (0, 100, 500, 1111):
+            got = [r.rowid for r in t.knn("emb", x[probe], k=3, filters={"half": 0})]
+            want = [
+                r.rowid
+                for r in t.knn("emb", x[probe], k=3, filters={"half": 0}, exact=True)
+            ]
+            assert all((g - 1) % 2 == 0 for g in got)
+            hits += len(set(got) & set(want))
+            total += len(want)
+        assert hits / total >= 0.9, f"filtered recall {hits}/{total}"
+
+    def test_predicate_still_works(self):
+        rng = np.random.default_rng(24)
+        x = rng.standard_normal((60, 8)).astype(np.float32)
+        t = VecTable(
+            "p",
+            [
+                ColumnSpec.vector("emb", 8, metric=DistanceMetric.L2, params=PARAMS),
+                ColumnSpec.metadata("v"),
+            ],
+        )
+        t.insert_many([{"emb": v, "v": i} for i, v in enumerate(x)])
+        res = t.knn("emb", x[0], k=5, predicate=lambda rid, vals: vals["v"] >= 30)
+        assert res and all(r.rowid >= 31 for r in res)
+
+    def test_unhashable_scalar_rejected(self):
+        t = VecTable(
+            "u",
+            [
+                ColumnSpec.vector("emb", 8, metric=DistanceMetric.L2, params=PARAMS),
+                ColumnSpec.metadata("m"),
+            ],
+        )
+        with pytest.raises(InvalidParameter, match="hashable"):
+            t.insert({"emb": [0.0] * 8, "m": [1, 2]})
+
+    def test_update_many_bulk(self):
+        rng = np.random.default_rng(25)
+        x = rng.standard_normal((80, 12)).astype(np.float32)
+        t = VecTable(
+            "um",
+            [
+                ColumnSpec.vector("emb", 12, metric=DistanceMetric.L2, params=PARAMS),
+                ColumnSpec.metadata("tag"),
+            ],
+        )
+        rids = t.insert_many([{"emb": v, "tag": "old"} for v in x])
+        y = rng.standard_normal((40, 12)).astype(np.float32)
+        t.update_many(rids[:40], [{"emb": v, "tag": "new"} for v in y])
+        assert len(t) == 80
+        for j in (0, 17, 39):
+            assert t.knn("emb", y[j], k=1)[0].rowid == rids[j]
+            assert t.row(rids[j])["tag"] == "new"
+        assert t.row(rids[50])["tag"] == "old"
+        assert t.integrity_check() == []
+        with pytest.raises(InvalidParameter):
+            t.update_many([1, 2], [{}])

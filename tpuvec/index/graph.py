@@ -193,7 +193,7 @@ def prepare_vectors(config: HnswConfig, v: jnp.ndarray) -> jnp.ndarray:
     queries go through the same transform at search time
     (search.rs:285-302).
     """
-    from tpuvec.quantize import quantize_binary_words, quantize_int8_for_index
+    from tpuvec.quantize import quantize_int8_for_index
 
     c = config
     if c.vec_type is VectorType.BIT:

@@ -166,18 +166,29 @@ def beam_search_level0(
     max_iters: int,
     n_expand: int = 1,
     use_pallas: bool = False,
+    node_mask: jnp.ndarray | None = None,
+    k_out: int = 10,
 ):
     """Best-first beam search at level 0.
 
     q [B, Dp]; seed_ids/seed_dists [B] from the descent. Returns
     (beam_d [B, EF] ascending, beam_i [B, EF], iters) in internal
     distance, with EF = next_pow2(ef).
+
+    ``node_mask`` [cap] bool enables *filtered* search (the reference
+    parses partition/metadata filters but never implements them,
+    src/vtab.rs:2479-2480): the beam traverses the full graph — filtered
+    nodes still route — while a separate result buffer collects the best
+    ``k_out`` nodes passing the mask from every expanded window (so it
+    sees iters x E x M0 candidates, not just beam survivors). Returns
+    (res_d [B, KP], res_i [B, KP], iters) instead.
     """
     b = q.shape[0]
     e = n_expand
     m0 = config.max_m0
     w_raw = e * m0
     efp = _next_pow2(ef)
+    use_mask = node_mask is not None
 
     beam_d = jnp.full((b, efp), _INF, dtype=jnp.float32)
     beam_i = jnp.full((b, efp), -1, dtype=jnp.int32)
@@ -186,6 +197,17 @@ def beam_search_level0(
     beam_i = beam_i.at[:, 0].set(seed_ids)
     beam_x = beam_x.at[:, 0].set(seed_ids < 0)
     # seed slot must sort first: it does (others are inf)
+
+    if use_mask:
+        kp = _next_pow2(max(k_out, 2))
+        seed_ok = jnp.logical_and(
+            seed_ids >= 0, node_mask[jnp.maximum(seed_ids, 0)]
+        )
+        res_d = jnp.full((b, kp), _INF, dtype=jnp.float32)
+        res_i = jnp.full((b, kp), -1, dtype=jnp.int32)
+        res_x = jnp.zeros((b, kp), dtype=jnp.bool_)  # carried, unused
+        res_d = res_d.at[:, 0].set(jnp.where(seed_ok, seed_dists, _INF))
+        res_i = res_i.at[:, 0].set(jnp.where(seed_ok, seed_ids, -1))
 
     iota_ef = jnp.arange(efp)
 
@@ -210,8 +232,9 @@ def beam_search_level0(
         *_, alive, it = carry
         return jnp.logical_and(alive, it < max_iters)
 
-    def body(carry):
-        beam_d, beam_i, beam_x, sel, active, _, it = carry
+    def expand(beam_d, beam_i, beam_x, sel):
+        """Mark the frontier expanded, gather + dedup its neighbors, and
+        compute their distances. Returns (beam_x, nd [B, W], ni [B, W])."""
         beam_x = jnp.logical_or(beam_x, sel)
 
         # compact the <=E selected positions to [B, E] candidate ids
@@ -235,7 +258,11 @@ def beam_search_level0(
 
         nd = _node_dist(config, state, q, jnp.where(fresh, nbrs, -1))  # [B, W]
         ni = jnp.where(fresh, nbrs, -1)
+        return beam_x, nd, ni
 
+    def body(carry):
+        beam_d, beam_i, beam_x, sel, active, _, it = carry
+        beam_x, nd, ni = expand(beam_d, beam_i, beam_x, sel)
         beam_d, beam_i, beam_x = bitonic_topk_merge_sorted(
             beam_d, beam_i, beam_x, nd, ni
         )
@@ -244,7 +271,29 @@ def beam_search_level0(
         nsel, nactive = frontier(beam_d, beam_i, beam_x)
         return beam_d, beam_i, beam_x, nsel, nactive, jnp.any(nactive), it + 1
 
-    if use_pallas:
+    def body_m(carry):
+        beam_d, beam_i, beam_x, res_d, res_i, res_x, sel, active, _, it = carry
+        beam_x, nd, ni = expand(beam_d, beam_i, beam_x, sel)
+        # collect mask-passing nodes from the whole expanded window
+        allow = jnp.logical_and(ni >= 0, node_mask[jnp.maximum(ni, 0)])
+        res_d, res_i, res_x = bitonic_topk_merge_sorted(
+            res_d,
+            res_i,
+            res_x,
+            jnp.where(allow, nd, _INF),
+            jnp.where(allow, ni, -1),
+        )
+        beam_d, beam_i, beam_x = bitonic_topk_merge_sorted(
+            beam_d, beam_i, beam_x, nd, ni
+        )
+        beam_x = jnp.logical_or(beam_x, jnp.logical_not(jnp.isfinite(beam_d)))
+        nsel, nactive = frontier(beam_d, beam_i, beam_x)
+        return (
+            beam_d, beam_i, beam_x, res_d, res_i, res_x,
+            nsel, nactive, jnp.any(nactive), it + 1,
+        )
+
+    if use_pallas and not use_mask:
         # fused kernel path: dedup + merge + next-frontier in one VMEM
         # kernel (tpuvec/ops/pallas_beam.py); adjacency/vector gathers and
         # the distance einsum stay in XLA where they are already fast
@@ -290,6 +339,28 @@ def beam_search_level0(
         return beam_d, beam_i, iters
 
     sel0, active0 = frontier(beam_d, beam_i, beam_x)
+    if use_mask:
+        carry = (
+            beam_d, beam_i, beam_x, res_d, res_i, res_x,
+            sel0, active0, jnp.any(active0), jnp.int32(0),
+        )
+        out = jax.lax.while_loop(cond, body_m, carry)
+        res_d, res_i, iters = out[3], out[4], out[-1]
+        # dedup: a node evicted from the beam can be re-encountered later
+        # and collected twice; keep the first (sorted) occurrence
+        kp = res_d.shape[1]
+        eq = res_i[:, :, None] == res_i[:, None, :]
+        earlier = (jnp.arange(kp)[:, None] > jnp.arange(kp)[None, :])[None]
+        dup = jnp.logical_and(
+            jnp.any(jnp.logical_and(eq, earlier), axis=-1), res_i >= 0
+        )
+        res_d = jnp.where(dup, _INF, res_d)
+        res_i = jnp.where(dup, -1, res_i)
+        from tpuvec.ops.sort import bitonic_sort
+
+        res_d, res_i = bitonic_sort(res_d, res_i)
+        return res_d, res_i, iters
+
     beam_d, beam_i, beam_x, _, _, _, iters = jax.lax.while_loop(
         cond,
         body,
@@ -321,12 +392,15 @@ def search_graph(
     max_iters: int | None = None,
     n_expand: int = 1,
     use_pallas: bool = False,
+    filter_mask: jnp.ndarray | None = None,
 ):
     """Batched k-NN over the graph in *internal* distance space.
 
     q [B, Dp] must already be prepared (prepare_queries). Returns
     (dists [B, k], ids [B, k]) ascending; empty index -> (inf, -1).
     ef defaults to max(ef_search, k) (reference search.rs:280).
+    ``filter_mask`` [cap] bool restricts *results* (not traversal) to
+    mask-passing nodes — in-beam filtered search (see beam_search_level0).
     """
     ef = max(ef or config.ef_search, k)
     if max_iters is None:
@@ -342,6 +416,8 @@ def search_graph(
         max_iters=max_iters,
         n_expand=n_expand,
         use_pallas=use_pallas,
+        node_mask=filter_mask,
+        k_out=k,
     )
     out_d = beam_d[:, :k]
     out_i = beam_i[:, :k]

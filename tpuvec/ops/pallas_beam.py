@@ -10,15 +10,15 @@ The kernel is numerics-identical to the XLA path (same bitonic network,
 tpuvec/ops/sort.py) and is exercised in interpret mode on CPU by the test
 suite; `search_graph(..., use_pallas=True)` selects it.
 
-STATUS (v5e, jax 0.9): the kernel traces without Mosaic-unsupported
-primitives (cumsum -> log-step shift-adds, no .at[] updates, no negative
-indexing), but the Mosaic compiler itself crashes (tpu_compile_helper
-exit 1) on the bitonic network's [B, g, 2, j] reshape ladder. The XLA
-path is the production default; revisit when Mosaic handles the reshapes
-or after restructuring the network around pltpu.roll.
+STATUS (v5e, jax 0.9): compiles under Mosaic and matches the XLA path
+bit-for-bit. Getting there required three workarounds (verified by
+bisection on the real TPU): (1) the bitonic network uses static lane
+rolls instead of the [B, g, 2, j] reshape ladder (ops/sort.py), (2) no
+select/concatenate/roll on *boolean* operands anywhere in the kernel —
+flags ride as int32, (3) the scalar `active` output is stored via
+broadcast_to rather than `[:, None]` indexing.
 
-Layout requirements: EF, EF+W powers of two; all arrays [B, *] with the
-last dim a lane multiple for best Mosaic lowering (EF, W >= 128 ideal).
+Layout requirements: EF a power of two; all arrays [B, *].
 """
 
 from __future__ import annotations
@@ -119,18 +119,18 @@ def beam_update(beam_d, beam_i, beam_x, nbrs, nd, *, n_expand=1, interpret=False
         )
         od[:] = sd
         oi[:] = si
-        ox[:] = sx.astype(jnp.int8)
+        ox[:] = sx.astype(jnp.int32)
         oc[:] = cand
-        oa[:] = active.astype(jnp.int8)[:, None]
+        oa[:] = jnp.broadcast_to(active[:, None], (b, 1)).astype(jnp.int32)
 
     out = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((b, efp), jnp.float32),
             jax.ShapeDtypeStruct((b, efp), jnp.int32),
-            jax.ShapeDtypeStruct((b, efp), jnp.int8),
+            jax.ShapeDtypeStruct((b, efp), jnp.int32),
             jax.ShapeDtypeStruct((b, e), jnp.int32),
-            jax.ShapeDtypeStruct((b, 1), jnp.int8),
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=(
@@ -141,6 +141,6 @@ def beam_update(beam_d, beam_i, beam_x, nbrs, nd, *, n_expand=1, interpret=False
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(beam_d, beam_i, beam_x.astype(jnp.int8), nbrs, nd)
+    )(beam_d, beam_i, beam_x.astype(jnp.int32), nbrs, nd)
     sd, si, sx, cand, active = out
     return sd, si, sx.astype(jnp.bool_), cand, active[:, 0].astype(jnp.bool_)

@@ -64,6 +64,16 @@ def _lane_iota(ndim: int, length: int) -> jnp.ndarray:
     return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
 
 
+def _sel(pred, a, b):
+    """where(pred, a, b) that avoids bool-valued select (Mosaic rejects
+    selects whose *operands* are booleans; logical form lowers fine)."""
+    if a.dtype == jnp.bool_:
+        return jnp.logical_or(
+            jnp.logical_and(pred, a), jnp.logical_and(jnp.logical_not(pred), b)
+        )
+    return jnp.where(pred, a, b)
+
+
 def _stage(keys, vals, j: int, is_lo: jnp.ndarray, want_small: jnp.ndarray):
     """One compare-exchange stage with partner distance j.
 
@@ -74,12 +84,15 @@ def _stage(keys, vals, j: int, is_lo: jnp.ndarray, want_small: jnp.ndarray):
     """
     # partner value: x[i + j] for lo positions, x[i - j] for hi positions
     kp = jnp.where(is_lo, _roll(keys, -j), _roll(keys, j))
-    take = jnp.where(want_small, kp < keys, kp > keys)
+    take = jnp.logical_or(
+        jnp.logical_and(want_small, kp < keys),
+        jnp.logical_and(jnp.logical_not(want_small), kp > keys),
+    )
     keys = jnp.where(take, kp, keys)
     new_vals = []
     for v in vals:
-        vp = jnp.where(is_lo, _roll(v, -j), _roll(v, j))
-        new_vals.append(jnp.where(take, vp, v))
+        vp = _sel(is_lo, _roll(v, -j), _roll(v, j))
+        new_vals.append(_sel(take, vp, v))
     return keys, new_vals
 
 
@@ -90,7 +103,9 @@ def bitonic_sort(keys: jnp.ndarray, *vals: jnp.ndarray, descending: bool = False
     """
     length = keys.shape[-1]
     assert length & (length - 1) == 0, f"L={length} must be a power of two"
-    vals = list(vals)
+    # bool values ride as int32 (Mosaic rejects concatenate/roll on bools)
+    was_bool = [v.dtype == jnp.bool_ for v in vals]
+    vals = [v.astype(jnp.int32) if b else v for v, b in zip(vals, was_bool)]
     iota = _lane_iota(keys.ndim, length)
     k = 2
     while k <= length:
@@ -106,6 +121,7 @@ def bitonic_sort(keys: jnp.ndarray, *vals: jnp.ndarray, descending: bool = False
             keys, vals = _stage(keys, vals, j, is_lo, want_small)
             j //= 2
         k *= 2
+    vals = [v.astype(jnp.bool_) if b else v for v, b in zip(vals, was_bool)]
     return (keys, *vals)
 
 
@@ -140,6 +156,10 @@ def bitonic_topk_merge_sorted(
     """
     ef = beam_d.shape[-1]
     assert ef & (ef - 1) == 0, f"EF={ef} must be a power of two"
+    # carry the flag as int32: Mosaic rejects concatenate/roll on booleans,
+    # and the network rolls every value lane-wise each stage
+    x_bool = beam_x.dtype == jnp.bool_
+    beam_x = beam_x.astype(jnp.int32)
     w = new_d.shape[-1]
     wp = _next_pow2(w)
     if wp != w:
@@ -156,14 +176,14 @@ def bitonic_topk_merge_sorted(
         pad = [(0, 0)] * (beam_d.ndim - 1) + [(0, s - ef)]
         bd = jnp.pad(beam_d, pad, constant_values=jnp.inf)
         bi = jnp.pad(beam_i, pad, constant_values=-1)
-        bx = jnp.pad(beam_x, pad, constant_values=True)
+        bx = jnp.pad(beam_x, pad, constant_values=1)
     else:
         bd, bi, bx = beam_d, beam_i, beam_x
     if wp < s:
         pad = [(0, 0)] * (nd.ndim - 1) + [(s - wp, 0)]
         nd = jnp.pad(nd, pad, constant_values=jnp.inf)
         ni = jnp.pad(ni, pad, constant_values=-1)
-    nx = jnp.zeros(batch + (s,), dtype=beam_x.dtype)
+    nx = jnp.zeros(batch + (s,), dtype=jnp.int32)
 
     # split stage of the (ascending ++ descending) bitonic 2s-sequence:
     # lower half takes the pairwise min and is itself bitonic, holding the
@@ -173,7 +193,8 @@ def bitonic_topk_merge_sorted(
     i0 = jnp.where(take, ni, bi)
     x0 = jnp.where(take, nx, bx)
     d0, (i0, x0) = _merge_stages(d0, [i0, x0], s)
-    return d0[..., :ef], i0[..., :ef], x0[..., :ef]
+    x0 = x0[..., :ef].astype(jnp.bool_) if x_bool else x0[..., :ef]
+    return d0[..., :ef], i0[..., :ef], x0
 
 
 def bitonic_topk_merge(

@@ -116,6 +116,31 @@ def _sharded_insert(
     )(stacked, ids, vecs, levels)
 
 
+@partial(jax.jit, static_argnames=("config", "mesh"), donate_argnames=("stacked",))
+def _sharded_delete(
+    config: HnswConfig,
+    mesh: Mesh,
+    stacked: GraphState,
+    ids: jnp.ndarray,  # [S, nb] local slot ids, -1 pad
+) -> GraphState:
+    """shard_map'd delete_ids: every shard scrubs its own sub-graph
+    (inbound-edge scrub + entry reselection, index/build.py delete_ids)."""
+    from tpuvec.index.build import delete_ids
+
+    def local(state_s, ids_l):
+        state = jax.tree.map(lambda a: a[0], state_s)
+        out = delete_ids(config, state, ids_l[0])
+        return jax.tree.map(lambda a: a[None], out)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("shard"), P("shard")),
+        out_specs=P("shard"),
+        check_vma=False,
+    )(stacked, ids)
+
+
 class ShardedHnsw:
     """A partitioned HNSW index across a device mesh.
 
@@ -158,19 +183,36 @@ class ShardedHnsw:
             ),
             stacked,
         )
-        self._counts = np.zeros(self.n_shards, dtype=np.int64)
+        self._counts = np.zeros(self.n_shards, dtype=np.int64)  # high-water
+        self._free: list[list[int]] = [[] for _ in range(self.n_shards)]
         self._rr = 0  # round-robin pointer
-        # partition value per (shard, slot): several tenants can hash to one
-        # shard, so partition queries still filter exactly within the shard
-        self._part_values = np.full((self.n_shards, self.config.cap), None, dtype=object)
+        # partition value per (shard, slot), interned to int32 codes so a
+        # partition filter is one vectorized compare (several tenants can
+        # hash to one shard; queries still filter exactly within it)
+        self._part_codes = np.full(
+            (self.n_shards, self.config.cap), -1, dtype=np.int32
+        )
+        self._part_list: list = []
+        self._part_code_of: dict = {}
 
     # ---------------------------------------------------------------- #
+
+    def __len__(self) -> int:
+        return int(self._counts.sum()) - sum(len(f) for f in self._free)
 
     def shard_of_partition(self, partition) -> int:
         # stable across processes (Python's hash() is salted per run)
         import zlib
 
         return zlib.crc32(repr(partition).encode()) % self.n_shards
+
+    def _intern_partition(self, value) -> int:
+        code = self._part_code_of.get(value)
+        if code is None:
+            code = len(self._part_list)
+            self._part_list.append(value)
+            self._part_code_of[value] = code
+        return code
 
     def _assign(self, n: int, partitions) -> np.ndarray:
         if partitions is not None:
@@ -180,6 +222,18 @@ class ShardedHnsw:
         out = (np.arange(n) + self._rr) % self.n_shards
         self._rr = int((self._rr + n) % self.n_shards)
         return out
+
+    def _alloc_slot(self, s: int) -> int:
+        if self._free[s]:
+            return self._free[s].pop()
+        slot = int(self._counts[s])
+        if slot >= self.config.cap:
+            raise RuntimeError(
+                f"shard {s} over capacity ({self.config.cap}); "
+                "raise cap_per_shard"
+            )
+        self._counts[s] += 1
+        return slot
 
     def add(
         self,
@@ -193,23 +247,22 @@ class ShardedHnsw:
         n = vectors.shape[0]
         shard_ix = self._assign(n, partitions)
         prepared = np.asarray(prepare_vectors(self.config, jnp.asarray(vectors)))
-        # per-shard local slot assignment
-        global_ids = np.empty(n, dtype=np.int64)
+        slots = np.empty(n, dtype=np.int64)
         per_shard: list[list[int]] = [[] for _ in range(self.n_shards)]
         for row, s in enumerate(shard_ix):
-            slot = self._counts[s] + len(per_shard[s])
-            if slot >= self.config.cap:
-                raise RuntimeError(
-                    f"shard {s} over capacity ({self.config.cap}); "
-                    "raise cap_per_shard"
-                )
+            slots[row] = self._alloc_slot(int(s))
             per_shard[s].append(row)
-            global_ids[row] = s * self.config.cap + slot
             if partitions is not None:
-                self._part_values[s, slot] = partitions[row]
+                self._part_codes[s, slots[row]] = self._intern_partition(
+                    partitions[row]
+                )
+        self._insert_rows(per_shard, slots, prepared, batch)
+        return shard_ix * self.config.cap + slots
 
-        # interleave into fixed-shape rounds (same schedule on every shard)
-        max_rows = max(len(rows) for rows in per_shard)
+    def _insert_rows(self, per_shard, slots, prepared, batch: int) -> None:
+        """Interleave per-shard rows into fixed-shape SPMD insert rounds
+        (same schedule on every shard; -1 padding where a shard is idle)."""
+        max_rows = max((len(rows) for rows in per_shard), default=0)
         pos = [0] * self.n_shards
         for take in plan_batch_sizes(max_rows, batch):
             ids = np.full((self.n_shards, batch), -1, dtype=np.int32)
@@ -220,8 +273,7 @@ class ShardedHnsw:
                 rows = per_shard[s][pos[s] : pos[s] + take]
                 pos[s] += len(rows)
                 for j, row in enumerate(rows):
-                    ids[s, j] = self._counts[s]
-                    self._counts[s] += 1
+                    ids[s, j] = slots[row]
                     vecs[s, j] = prepared[row]
             levels = sample_levels_np(
                 np.maximum(ids, 0).astype(np.int32).ravel(),
@@ -237,7 +289,49 @@ class ShardedHnsw:
                 jnp.asarray(vecs),
                 jnp.asarray(levels),
             )
-        return global_ids
+
+    def delete(self, global_ids) -> None:
+        """Delete by global id (mirrors VecTable.delete_many semantics:
+        edge scrub + per-shard entry reselection). Slots are recycled."""
+        gids = np.asarray(global_ids, dtype=np.int64).ravel()
+        if gids.size == 0:
+            return
+        shard = gids // self.config.cap
+        slot = gids % self.config.cap
+        per_shard: list[list[int]] = [[] for _ in range(self.n_shards)]
+        for s, sl in zip(shard, slot):
+            s, sl = int(s), int(sl)
+            if sl in self._free[s] or sl >= self._counts[s]:
+                raise KeyError(f"global id {s * self.config.cap + sl} not live")
+            per_shard[s].append(sl)
+        nb_max = max(len(p) for p in per_shard)
+        nb = 16 if nb_max <= 16 else -(-nb_max // 256) * 256
+        ids = np.full((self.n_shards, nb), -1, dtype=np.int32)
+        for s, sl_list in enumerate(per_shard):
+            ids[s, : len(sl_list)] = sl_list
+            self._free[s].extend(sl_list)
+            self._part_codes[s, sl_list] = -1
+        self.stacked = _sharded_delete(
+            self.config, self.mesh, self.stacked, jnp.asarray(ids)
+        )
+
+    def update(self, global_ids, vectors, *, partitions=None, batch: int = 256) -> None:
+        """Replace vectors in place (delete + re-insert at the same slots,
+        the reference's update semantics, src/vtab.rs:1860-2016): global
+        ids stay stable."""
+        gids = np.asarray(global_ids, dtype=np.int64).ravel()
+        self.delete(gids)
+        shard = gids // self.config.cap
+        slot = gids % self.config.cap
+        prepared = np.asarray(prepare_vectors(self.config, jnp.asarray(vectors)))
+        per_shard: list[list[int]] = [[] for _ in range(self.n_shards)]
+        for row, (s, sl) in enumerate(zip(shard, slot)):
+            s, sl = int(s), int(sl)
+            self._free[s].remove(sl)
+            per_shard[s].append(row)
+            if partitions is not None:
+                self._part_codes[s, sl] = self._intern_partition(partitions[row])
+        self._insert_rows(per_shard, slot, prepared, batch)
 
     def search(
         self,
@@ -255,20 +349,27 @@ class ShardedHnsw:
         if partition is not None:
             s = self.shard_of_partition(partition)
             state = jax.tree.map(lambda a: a[s], self.stacked)
-            # over-fetch, then filter to the exact partition (tenants can
-            # share a shard); fall back to exact masked scan if underfilled
-            fetch = max(4 * k, k + 32)
-            d, i = search_graph(
-                self.config, state, qp, k=fetch, ef=max(ef or 0, fetch), n_expand=n_expand
-            )
-            dn, inn = np.asarray(d), np.asarray(i)
-            ok = np.zeros_like(inn, dtype=bool)
-            for b in range(inn.shape[0]):
-                for j, slot in enumerate(inn[b]):
-                    ok[b, j] = slot >= 0 and self._part_values[s, slot] == partition
-            member = self._part_values[s] == partition
-            short = ok.sum(axis=1).min() < min(k, int(member.sum()))
-            if short:
+            # partition-affinity routing: the tenant lives on one shard;
+            # filter to the exact partition with an in-beam device mask
+            # (tenants can share a shard). Small tenants go straight to
+            # the exact masked scan; underfill also falls back to it.
+            code = self._part_code_of.get(partition, -2)
+            member = self._part_codes[s] == code
+            n_member = int(member.sum())
+            d = i = None
+            if n_member > 50 * k:
+                d, i = search_graph(
+                    self.config,
+                    state,
+                    qp,
+                    k=k,
+                    ef=ef,
+                    n_expand=n_expand,
+                    filter_mask=jnp.asarray(member),
+                )
+                if (np.asarray(i) >= 0).sum(axis=1).min() < min(k, n_member):
+                    d = i = None
+            if d is None:
                 from tpuvec.index.bruteforce import bruteforce_knn_internal
 
                 d, i = bruteforce_knn_internal(
@@ -279,12 +380,6 @@ class ShardedHnsw:
                     k=k,
                     normalized=self.config.normalized,
                 )
-            else:
-                dn = np.where(ok, dn, np.inf)
-                inn = np.where(ok, inn, -1)
-                order = np.argsort(dn, axis=1, kind="stable")[:, :k]
-                d = jnp.asarray(np.take_along_axis(dn, order, 1))
-                i = jnp.asarray(np.take_along_axis(inn, order, 1))
             gi = jnp.where(i >= 0, s * self.config.cap + i, -1)
         else:
             d, gi = _sharded_search(
@@ -315,10 +410,11 @@ def save_sharded(idx: ShardedHnsw, path: str) -> None:
     import dataclasses as _dc
 
     meta = {
-        "version": 1,
+        "version": 2,
         "n_shards": idx.n_shards,
         "axis": idx.axis,
         "counts": idx._counts.tolist(),
+        "free": [list(f) for f in idx._free],
         "rr": idx._rr,
         "config": {
             f.name: (
@@ -328,15 +424,22 @@ def save_sharded(idx: ShardedHnsw, path: str) -> None:
             )
             for f in _dc.fields(idx.config)
         },
-        "partitions": [
-            [[int(s), repr(v)] for s, v in enumerate(idx._part_values[sh]) if v is not None]
-            for sh in range(idx.n_shards)
-        ],
+        # interned partition values, serialized as JSON (validated below);
+        # codes ride as an array
+        "part_values": idx._part_list,
     }
+    try:
+        meta_json = _json.dumps(meta)
+    except TypeError as e:
+        raise ValueError(
+            "save_sharded requires JSON-serializable partition values "
+            f"(int/float/str/bool/None): {e}"
+        ) from None
     arrays = {
         f: np.asarray(getattr(idx.stacked, f)) for f in _SHARD_GRAPH_FIELDS
     }
-    arrays["__meta__"] = np.frombuffer(_json.dumps(meta).encode(), dtype=np.uint8)
+    arrays["__part_codes__"] = idx._part_codes
+    arrays["__meta__"] = np.frombuffer(meta_json.encode(), dtype=np.uint8)
     d = _os.path.dirname(_os.path.abspath(path)) or "."
     fd, tmp = _tempfile.mkstemp(dir=d, suffix=".tmp")
     try:
@@ -351,13 +454,16 @@ def save_sharded(idx: ShardedHnsw, path: str) -> None:
 
 def load_sharded(path: str, mesh: Mesh) -> ShardedHnsw:
     """Restore a ShardedHnsw onto a mesh with the same shard count."""
-    import ast as _ast
     import json as _json
 
     from tpuvec.types import DistanceMetric, IndexQuantization, VectorType
 
     with np.load(path, allow_pickle=False) as z:
         meta = _json.loads(bytes(z["__meta__"]).decode())
+        if meta.get("version") != 2:
+            raise ValueError(
+                f"unsupported sharded-snapshot version {meta.get('version')}"
+            )
         cfgd = dict(meta["config"])
         if mesh.devices.size != meta["n_shards"]:
             raise ValueError(
@@ -386,8 +492,9 @@ def load_sharded(path: str, mesh: Mesh) -> ShardedHnsw:
         }
         idx.stacked = GraphState(**fields)
         idx._counts = np.asarray(meta["counts"], dtype=np.int64)
+        idx._free = [list(f) for f in meta["free"]]
         idx._rr = meta["rr"]
-        for sh, pairs in enumerate(meta["partitions"]):
-            for s, vrepr in pairs:
-                idx._part_values[sh, s] = _ast.literal_eval(vrepr)
+        idx._part_codes = np.asarray(z["__part_codes__"], dtype=np.int32)
+        idx._part_list = list(meta["part_values"])
+        idx._part_code_of = {v: c for c, v in enumerate(idx._part_list)}
     return idx

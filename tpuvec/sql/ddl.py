@@ -11,7 +11,11 @@ Grammar parity with the reference's parse_create_args + extract_hnsw_clause
 * auxiliary:       +payload TEXT  (src/vtab.rs:860-867)
 * metadata:        label TEXT (or bare name -> TEXT)
 * table options:   type=hnsw|enn (src/vtab.rs:738-750); chunk_size=N is
-                   accepted and ignored (legacy knob).
+                   accepted and ignored (legacy knob); capacity=N
+                   (TPU-specific) pre-sizes the device arrays so the jit
+                   programs never recompile on growth — the analogue of
+                   the reference's page-size tuning advice
+                   (src/vtab.rs:160-216).
 """
 
 from __future__ import annotations
@@ -98,9 +102,10 @@ _HNSW_RE = re.compile(r"(?i)\bhnsw\s*\(")
 
 
 def parse_vec0_args(args: list[str]):
-    """Parse the vec0 argument list into (columns, index_type)."""
+    """Parse the vec0 argument list into (columns, index_type, options)."""
     columns: list[ColumnSpec] = []
     index_type = IndexType.HNSW
+    options: dict = {}
     for arg in args:
         arg = arg.strip()
         if not arg:
@@ -115,6 +120,12 @@ def parse_vec0_args(args: list[str]):
                 continue
             if key == "chunk_size":
                 continue  # legacy knob, accepted and ignored
+            if key == "capacity":
+                cap = int(value)
+                if cap <= 0:
+                    raise InvalidParameter("capacity must be positive")
+                options["capacity"] = cap
+                continue
             raise InvalidParameter(f"Unknown table option: '{arg}'")
 
         # pull out a trailing hnsw(...) clause
@@ -183,18 +194,18 @@ def parse_vec0_args(args: list[str]):
             columns.append(ColumnSpec.aux(name.lstrip("+")))
         else:
             columns.append(ColumnSpec.metadata(name))
-    return columns, index_type
+    return columns, index_type, options
 
 
 def parse_create_vtab(sql: str):
     """Parse a full CREATE VIRTUAL TABLE statement.
 
-    Returns (table_name, columns, index_type) or None if the statement is
-    not a vec0 DDL.
+    Returns (table_name, columns, index_type, options) or None if the
+    statement is not a vec0 DDL.
     """
     m = _CREATE_RE.match(sql)
     if not m:
         return None
     name = m.group("name").strip('"')
-    columns, index_type = parse_vec0_args(split_args(m.group("args")))
-    return name, columns, index_type
+    columns, index_type, options = parse_vec0_args(split_args(m.group("args")))
+    return name, columns, index_type, options

@@ -25,19 +25,15 @@ from __future__ import annotations
 
 import re
 import sqlite3
-from typing import Any, Iterable, Sequence
-
-import numpy as np
+from typing import Any, Sequence
 
 from tpuvec.codec import Vector
-from tpuvec.index.params import HnswParams
 from tpuvec.sql import functions as F
 from tpuvec.sql.ddl import parse_create_vtab
 from tpuvec.store.table import VecTable
 from tpuvec.types import (
     InvalidParameter,
     InvalidState,
-    VectorType,
 )
 
 __all__ = ["Database", "connect", "Cursor"]
@@ -131,12 +127,17 @@ class Database:
 
         created = parse_create_vtab(sql)
         if created is not None:
-            name, columns, index_type = created
+            name, columns, index_type, options = created
             if name in self.tables:
                 if re.search(r"IF\s+NOT\s+EXISTS", sql, re.IGNORECASE):
                     return Cursor([], [])
                 raise InvalidState(f"table '{name}' already exists")
-            self.tables[name] = VecTable(name, columns, index_type=index_type)
+            self.tables[name] = VecTable(
+                name,
+                columns,
+                index_type=index_type,
+                initial_cap=options.get("capacity", 1024),
+            )
             return Cursor([], [])
 
         m = _REBUILD_RE.match(sql)
@@ -346,14 +347,15 @@ class Database:
                     partition = val
                 else:
                     predicate_eqs[col] = val
-            predicate = None
-            if predicate_eqs:
-                def predicate(rid, vals, _eqs=predicate_eqs):
-                    return all(vals.get(c) == v for c, v in _eqs.items())
-
             col = match.group("col").strip('"')
+            # equality filters go through the vectorized code-compare path
             results = table.knn(
-                col, qval, k=k, ef=ef, partition=partition, predicate=predicate
+                col,
+                qval,
+                k=k,
+                ef=ef,
+                partition=partition,
+                filters=predicate_eqs or None,
             )
             if limit:
                 n = int(self._take_param(limit, params))

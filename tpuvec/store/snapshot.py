@@ -15,7 +15,6 @@ always-available fallback and the format definition.
 from __future__ import annotations
 
 import dataclasses
-import io
 import json
 import os
 import tempfile
@@ -25,7 +24,7 @@ import numpy as np
 
 from tpuvec.index.graph import GraphState
 from tpuvec.index.params import HnswParams
-from tpuvec.store.table import ColumnSpec, VecTable, _VectorColumn
+from tpuvec.store.table import ColumnSpec, VecTable
 from tpuvec.types import (
     DistanceMetric,
     IndexQuantization,
@@ -109,18 +108,27 @@ def save(table: VecTable, path: str, *, engine: str = "auto") -> None:
         "next_slot": table._next_slot,
         "free_slots": table._free_slots,
         "scalar_data": {
-            cname: {str(k): v for k, v in vals.items()}
-            for cname, vals in table._scalar_data.items()
+            cname: {
+                str(rid): sc.get(slot)
+                for rid, slot in table._rowid_to_slot.items()
+                if sc.get(slot) is not None
+            }
+            for cname, sc in table._scalars.items()
         },
     }
+    try:
+        meta_json = json.dumps(meta)
+    except TypeError as e:
+        raise InvalidState(
+            "snapshot requires JSON-serializable scalar column values "
+            f"(int/float/str/bool/None): {e}"
+        ) from None
     arrays: dict[str, np.ndarray] = {}
     for cname, vc in table.vector_cols.items():
         arrays[f"raw::{cname}"] = vc.raw
         for f in _GRAPH_FIELDS:
             arrays[f"graph::{cname}::{f}"] = np.asarray(getattr(vc.state, f))
-    arrays["__meta__"] = np.frombuffer(
-        json.dumps(meta).encode("utf-8"), dtype=np.uint8
-    )
+    arrays["__meta__"] = np.frombuffer(meta_json.encode("utf-8"), dtype=np.uint8)
 
     if engine == "native":
         from tpuvec.native import TvsWriter
@@ -183,10 +191,13 @@ def load(path: str) -> VecTable:
     table._max_rowid = meta["max_rowid"]
     table._next_slot = meta["next_slot"]
     table._free_slots = list(meta["free_slots"])
-    table._scalar_data = {
-        cname: {int(k): v for k, v in vals.items()}
-        for cname, vals in meta["scalar_data"].items()
-    }
+    table._grow_host(max(table._next_slot, 1))
+    for slot in table._slot_to_rowid:
+        table._live[slot] = True
+    for cname, vals in meta["scalar_data"].items():
+        sc = table._scalars[cname]
+        for rid_s, v in vals.items():
+            sc.set(table._rowid_to_slot[int(rid_s)], v)
     for cname, vc in table.vector_cols.items():
         raw = z[f"raw::{cname}"]
         cap = raw.shape[0]

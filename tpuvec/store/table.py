@@ -36,12 +36,11 @@ from typing import Any, Iterable, Mapping, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from tpuvec.codec import Vector, pack_bits, unpack_bits
+from tpuvec.codec import Vector, pack_bits
 from tpuvec.index.build import build_graph, delete_ids, insert_batch
 from tpuvec.index.bruteforce import bruteforce_knn_internal
 from tpuvec.index.graph import (
     GraphState,
-    HnswConfig,
     allocate,
     config_for,
     prepare_vectors,
@@ -122,6 +121,60 @@ class QueryResult:
     rowid: int
     distance: float
     values: dict[str, Any]
+
+
+class _ScalarColumn:
+    """Columnar scalar storage: values interned to int32 codes per slot.
+
+    Equality filters (partition keys, metadata) become ONE vectorized
+    compare over the codes array — the device-mask design SURVEY §7 step 8
+    prescribes — instead of a per-rowid Python loop. Values must be
+    hashable (the reference's metadata columns hold SQL scalars,
+    src/vtab.rs:854-885).
+    """
+
+    def __init__(self, cap: int):
+        self.codes = np.full(cap, -1, dtype=np.int32)  # -1 = NULL/absent
+        self.values: list[Any] = []
+        self._code_of: dict[Any, int] = {}
+
+    def set(self, slot: int, value) -> None:
+        if value is None:
+            self.codes[slot] = -1
+            return
+        try:
+            code = self._code_of.get(value)
+        except TypeError:
+            raise InvalidParameter(
+                f"scalar column values must be hashable, got {type(value).__name__}"
+            ) from None
+        if code is None:
+            code = len(self.values)
+            self.values.append(value)
+            self._code_of[value] = code
+        self.codes[slot] = code
+
+    def get(self, slot: int):
+        c = self.codes[slot]
+        return None if c < 0 else self.values[c]
+
+    def clear(self, slot: int) -> None:
+        self.codes[slot] = -1
+
+    def mask_eq(self, value) -> np.ndarray:
+        """Vectorized equality mask over all slots."""
+        if value is None:
+            return self.codes == -1
+        try:
+            code = self._code_of.get(value, -2)  # unseen value matches nothing
+        except TypeError:
+            return np.zeros_like(self.codes, dtype=bool)
+        return self.codes == code
+
+    def grow(self, new_cap: int) -> None:
+        codes = np.full(new_cap, -1, dtype=np.int32)
+        codes[: self.codes.shape[0]] = self.codes
+        self.codes = codes
 
 
 class _VectorColumn:
@@ -232,9 +285,10 @@ class VecTable:
         # host-side row storage
         self._rowid_to_slot: dict[int, int] = {}
         self._slot_to_rowid: dict[int, int] = {}
-        self._scalar_data: dict[str, dict[int, Any]] = {
-            c.name: {} for c in self.scalar_cols
+        self._scalars: dict[str, _ScalarColumn] = {
+            c.name: _ScalarColumn(self.cap) for c in self.scalar_cols
         }
+        self._live = np.zeros(self.cap, dtype=bool)  # slot occupancy
         self._next_slot = 0
         self._free_slots: list[int] = []
         self._max_rowid = 0
@@ -285,6 +339,19 @@ class VecTable:
         self._next_slot += 1
         return s
 
+    def _grow_host(self, needed: int) -> None:
+        """Grow host-side slot arrays (live mask, scalar columns)."""
+        size = self._live.shape[0]
+        if needed <= size:
+            return
+        while size < needed:
+            size *= 2
+        live = np.zeros(size, dtype=bool)
+        live[: self._live.shape[0]] = self._live
+        self._live = live
+        for sc in self._scalars.values():
+            sc.grow(size)
+
     def _ensure_capacity(self) -> None:
         needed = self._next_slot
         cap = self.cap
@@ -295,6 +362,7 @@ class VecTable:
             new_cap *= 2
         for vc in self.vector_cols.values():
             vc.grow(new_cap)
+        self._grow_host(new_cap)
 
     # ------------------------------------------------------------------ #
     # write path (reference src/vtab.rs:1409-2016)
@@ -316,11 +384,14 @@ class VecTable:
                 if cname not in values or values[cname] is None:
                     raise InvalidParameter(f"missing vector for column '{cname}'")
                 vecs[cname] = self._decode_vector(vc.spec, values[cname])
-            for c in self.scalar_cols:
-                if c.name in values:
-                    self._scalar_data[c.name][rowid] = values[c.name]
 
             slot = self._alloc_slot()
+            if slot >= self._live.shape[0]:
+                self._grow_host(slot + 1)
+            for c in self.scalar_cols:
+                if c.name in values:
+                    self._scalars[c.name].set(slot, values[c.name])
+            self._live[slot] = True
             self._pending.append((rowid, slot, vecs))
             self._rowid_to_slot[rowid] = slot
             self._slot_to_rowid[slot] = rowid
@@ -416,8 +487,9 @@ class VecTable:
                     raise InvalidState(f"rowid {rid} not found")
                 s = self._rowid_to_slot.pop(rid)
                 del self._slot_to_rowid[s]
-                for col in self._scalar_data.values():
-                    col.pop(rid, None)
+                for col in self._scalars.values():
+                    col.clear(s)
+                self._live[s] = False
                 slots.append(s)
                 self._free_slots.append(s)
             nb = (16 if len(slots) <= 16 else -(-len(slots) // 256) * 256) if slots else 0
@@ -430,16 +502,29 @@ class VecTable:
     def update(self, rowid: int, values: Mapping[str, Any]) -> None:
         """Update vector and/or scalar columns for an existing rowid
         (reference: delete node + re-insert, src/vtab.rs:1860-2016)."""
+        self.update_many([rowid], [values])
+
+    def update_many(
+        self, rowids: Sequence[int], values_list: Sequence[Mapping[str, Any]]
+    ) -> None:
+        """Bulk update: ONE batched delete dispatch + batched re-inserts
+        (per-row update would cost a delete-program + insert-program per
+        row; the reference batches the same way inside a transaction)."""
+        if len(rowids) != len(values_list):
+            raise InvalidParameter("rowids/values length mismatch")
+        if not rowids:
+            return
         with self._lock:
-            rowid = int(rowid)
             self.flush()
-            if rowid not in self._rowid_to_slot:
-                raise InvalidState(f"rowid {rowid} not found")
-            old = self.row(rowid)
-            merged = {**old, **dict(values)}
-            self.delete(rowid)
-            self.insert(merged, rowid=rowid)
-            self.flush()
+            rids = [int(r) for r in rowids]
+            merged = []
+            for rid, values in zip(rids, values_list):
+                if rid not in self._rowid_to_slot:
+                    raise InvalidState(f"rowid {rid} not found")
+                old = self.row(rid)
+                merged.append({**old, **dict(values)})
+            self.delete_many(rids)
+            self.insert_many(merged, rowids=rids)
 
     # ------------------------------------------------------------------ #
     # read path (reference src/vtab.rs:2084-2482)
@@ -466,27 +551,40 @@ class VecTable:
                 else:
                     out[cname] = Vector.from_f32(raw[: vc.spec.dimensions])
             for c in self.scalar_cols:
-                out[c.name] = self._scalar_data[c.name].get(rowid)
+                out[c.name] = self._scalars[c.name].get(slot)
             return out
 
-    def _filter_mask(self, partition=None, predicate=None) -> np.ndarray | None:
-        """Validity mask over slots from partition / metadata filters."""
-        if partition is None and predicate is None:
+    def _filter_mask(
+        self, partition=None, predicate=None, filters=None
+    ) -> np.ndarray | None:
+        """Validity mask over slots from partition / metadata filters.
+
+        Partition and equality ``filters`` are single vectorized compares
+        over the interned code arrays (no per-row Python); an arbitrary
+        ``predicate`` callable falls back to a loop over live rows only.
+        """
+        if partition is None and predicate is None and not filters:
             return None
-        mask = np.zeros(self.cap, dtype=bool)
-        for rid, slot in self._rowid_to_slot.items():
-            ok = True
-            if partition is not None:
-                if self.partition_col is None:
-                    raise InvalidParameter("table has no partition key column")
-                ok = self._scalar_data[self.partition_col].get(rid) == partition
-            if ok and predicate is not None:
+        cap = self.cap
+        mask = self._live[:cap].copy()
+        if partition is not None:
+            if self.partition_col is None:
+                raise InvalidParameter("table has no partition key column")
+            mask &= self._scalars[self.partition_col].mask_eq(partition)[:cap]
+        if filters:
+            for col, val in filters.items():
+                if col not in self._scalars:
+                    raise InvalidParameter(f"'{col}' is not a scalar column")
+                mask &= self._scalars[col].mask_eq(val)[:cap]
+        if predicate is not None:
+            for slot in np.nonzero(mask)[0]:
+                rid = self._slot_to_rowid[int(slot)]
                 vals = {
-                    c.name: self._scalar_data[c.name].get(rid)
+                    c.name: self._scalars[c.name].get(int(slot))
                     for c in self.scalar_cols
                 }
-                ok = bool(predicate(rid, vals))
-            mask[slot] = ok
+                if not predicate(rid, vals):
+                    mask[slot] = False
         return mask
 
     def knn(
@@ -498,14 +596,47 @@ class VecTable:
         ef: int | None = None,
         partition=None,
         predicate=None,
+        filters: Mapping[str, Any] | None = None,
         exact: bool | None = None,
     ) -> list[QueryResult]:
         """k nearest neighbors on a vector column.
 
         Equivalent of `WHERE col MATCH ? AND k = ?` (src/vtab.rs:2084-2330).
         `exact=True` forces the ENN brute-force scan; default follows the
-        column's index type. `partition` / `predicate` filter results (the
-        capability the reference's PARTITION KEY parser promises).
+        column's index type. `partition` / `filters` (vectorized equality)
+        / `predicate` (arbitrary callable) filter results — the capability
+        the reference's PARTITION KEY parser promises but never implements
+        (src/vtab.rs:2479-2480).
+        """
+        return self.knn_many(
+            column,
+            [query],
+            k=k,
+            ef=ef,
+            partition=partition,
+            predicate=predicate,
+            filters=filters,
+            exact=exact,
+        )[0]
+
+    def knn_many(
+        self,
+        column: str,
+        queries: Sequence,
+        *,
+        k: int,
+        ef: int | None = None,
+        partition=None,
+        predicate=None,
+        filters: Mapping[str, Any] | None = None,
+        exact: bool | None = None,
+    ) -> list[list[QueryResult]]:
+        """Batched k-NN: B queries in one device dispatch.
+
+        The TPU search kernel is batched end to end (B=256 measured ~1.6x
+        the QPS of B=64 on v5e); this is the table-level surface for it.
+        Queries are padded to a power-of-two batch so jit compiles one
+        program per bucket.
         """
         with self._lock, timing.timer("table.knn"):
             self.flush()
@@ -514,64 +645,86 @@ class VecTable:
             vc = self.vector_cols[column]
             if k <= 0:
                 raise InvalidParameter("k must be positive")
-            qv = self._decode_vector(vc.spec, query)
-            qp = self._prepare_query(vc, qv)
+            nq = len(queries)
+            if nq == 0:
+                return []
+            qvs = [self._decode_vector(vc.spec, q) for q in queries]
+            qp = self._prepare_query_batch(vc, qvs)
 
-            mask = self._filter_mask(partition, predicate)
+            mask = self._filter_mask(partition, predicate, filters)
             use_exact = exact if exact is not None else not vc.has_hnsw
 
             if (
                 vc.spec.quantization is IndexQuantization.BINARY
                 and vc.spec.vec_type is VectorType.FLOAT32
             ):
-                d, i = self._binary_rerank(vc, qv, qp, k, mask, use_exact)
+                d, i = self._binary_rerank(vc, qvs, qp, k, mask, use_exact)
             elif use_exact or mask is not None and not vc.has_hnsw:
                 d, i = self._exact(vc, qp, k, mask)
             elif mask is not None:
-                # HNSW + filter: over-fetch and post-filter; fall back to
-                # exact when the filter is too selective to fill k.
-                fetch = max(4 * k, k + 32)
-                d, i = self._hnsw(vc, qp, fetch, ef)
-                d, i = self._post_filter(d, i, mask, k)
-                if (np.asarray(i) >= 0).sum() < min(k, int(mask.sum())):
+                # HNSW + filter: in-beam filtered search (the beam
+                # traverses the full graph; a device-side result buffer
+                # collects mask-passing nodes). Very selective filters go
+                # straight to the exact masked scan — the beam would visit
+                # too few matches to fill k anyway.
+                n_match = int(mask.sum())
+                if n_match <= 50 * k:
                     d, i = self._exact(vc, qp, k, mask)
+                else:
+                    d, i = self._hnsw(vc, qp, k, ef, mask)
+                    if (np.asarray(i)[:nq] >= 0).sum(axis=1).min() < min(
+                        k, n_match
+                    ):
+                        d, i = self._exact(vc, qp, k, mask)
             else:
                 d, i = self._hnsw(vc, qp, k, ef)
 
-            out = []
-            dn, inn = np.asarray(d)[0], np.asarray(i)[0]
-            for dist, slot in zip(dn, inn):
-                if slot < 0 or not np.isfinite(dist):
-                    continue
-                rid = self._slot_to_rowid.get(int(slot))
-                if rid is None:
-                    continue
-                out.append(QueryResult(rid, float(dist), {}))
-                if len(out) >= k:
-                    break
-            return out
+            dn, inn = np.asarray(d), np.asarray(i)
+            results: list[list[QueryResult]] = []
+            for b in range(nq):
+                out = []
+                for dist, slot in zip(dn[b], inn[b]):
+                    if slot < 0 or not np.isfinite(dist):
+                        continue
+                    rid = self._slot_to_rowid.get(int(slot))
+                    if rid is None:
+                        continue
+                    out.append(QueryResult(rid, float(dist), {}))
+                    if len(out) >= k:
+                        break
+                results.append(out)
+            return results
 
-    def _prepare_query(self, vc: _VectorColumn, qv: Vector) -> jnp.ndarray:
+    def _prepare_query_batch(
+        self, vc: _VectorColumn, qvs: Sequence[Vector]
+    ) -> jnp.ndarray:
+        """Decode + prepare B queries, padded to a power-of-two batch
+        (bounded set of jit shapes; padding rows are zeros)."""
         c = vc.config
+        b = len(qvs)
+        bp = 1 << max(b - 1, 0).bit_length()
         if vc.spec.vec_type is VectorType.BIT:
             words_w = -(-c.dim // 32)
-            bits = qv.as_bits()
-            padded = np.zeros(words_w * 32, dtype=np.uint8)
-            padded[: bits.size] = bits
-            words = np.asarray(pack_bits(padded)).view("<u4")[None, :]
+            words = np.zeros((bp, words_w), dtype=np.uint32)
+            for i, qv in enumerate(qvs):
+                bits = qv.as_bits()
+                padded = np.zeros(words_w * 32, dtype=np.uint8)
+                padded[: bits.size] = bits
+                words[i] = np.asarray(pack_bits(padded)).view("<u4")
             return prepare_vectors(c, jnp.asarray(words))
-        arr = qv.to_numpy()[None, :].astype(
-            np.float32 if vc.spec.vec_type is VectorType.FLOAT32 else np.int8
+        arr = np.zeros(
+            (bp, c.dim),
+            dtype=np.float32 if vc.spec.vec_type is VectorType.FLOAT32 else np.int8,
         )
+        for i, qv in enumerate(qvs):
+            arr[i] = qv.to_numpy()
         return prepare_vectors(c, jnp.asarray(arr))
 
     def _exact(self, vc: _VectorColumn, qp, k, mask):
         c = vc.config
-        valid = np.zeros(c.cap, dtype=bool)
-        for slot in self._slot_to_rowid:
-            valid[slot] = True
+        valid = self._live[: c.cap]
         if mask is not None:
-            valid &= mask
+            valid = valid & mask
         d, i = bruteforce_knn_internal(
             qp,
             vc.state.vectors,
@@ -583,63 +736,56 @@ class VecTable:
         out = internal_to_output(c.metric, d, normalized=c.normalized)
         return jnp.where(jnp.isfinite(d), out, jnp.inf), i
 
-    def _hnsw(self, vc: _VectorColumn, qp, k, ef):
+    def _hnsw(self, vc: _VectorColumn, qp, k, ef, mask=None):
         c = vc.config
-        d, i = search_graph(c, vc.state, qp, k=k, ef=ef)
+        fm = None if mask is None else jnp.asarray(mask)
+        d, i = search_graph(c, vc.state, qp, k=k, ef=ef, filter_mask=fm)
         out = internal_to_output(c.metric, d, normalized=c.normalized)
         return jnp.where(jnp.isfinite(d), out, jnp.inf), i
 
-    def _binary_rerank(self, vc: _VectorColumn, qv: Vector, qp, k, mask, use_exact):
-        """Binary Hamming coarse search + exact f32 rerank.
+    def _binary_rerank(self, vc: _VectorColumn, qvs, qp, k, mask, use_exact):
+        """Binary Hamming coarse search + exact f32 rerank, batched.
 
         The composition the reference has all the pieces for (bit vectors +
         Hamming + vec_quantize_binary) but never assembles (SURVEY.md §7
         step 7): the index stores mean-threshold sign bits; a Hamming
         search over-fetches `coarse_k` candidates; stored f32 originals
-        rerank them in the user metric.
+        rerank them in the user metric — all B queries at once.
         """
         coarse_k = max(8 * k, 64)
-        if use_exact or not vc.has_hnsw:
+        if (
+            use_exact
+            or not vc.has_hnsw
+            or (mask is not None and int(mask.sum()) <= 8 * coarse_k)
+        ):
             d, i = self._exact(vc, qp, coarse_k, mask)
         else:
-            d, i = self._hnsw(vc, qp, coarse_k, None)
-            if mask is not None:
-                d, i = self._post_filter(d, i, mask, coarse_k)
-        slots = np.asarray(i)[0]
+            d, i = self._hnsw(vc, qp, coarse_k, None, mask)
+        nq = len(qvs)
+        slots = np.asarray(i)[:nq]  # [nq, C]
         ok = slots >= 0
         if mask is not None:
             ok &= mask[np.clip(slots, 0, mask.size - 1)]
-        cand = slots[ok]
-        if cand.size == 0:
-            return np.full((1, k), np.inf, np.float32), np.full((1, k), -1, np.int32)
-        # exact rerank on stored originals (host gather; coarse_k rows)
-        corpus = vc.raw[cand].astype(np.float32)
-        qf = qv.as_f32().astype(np.float32)
+        safe = np.clip(slots, 0, vc.raw.shape[0] - 1)
+        # exact rerank on stored originals (vectorized gather; nq x C rows)
+        corpus = vc.raw[safe].astype(np.float32)  # [nq, C, D]
+        qf = np.stack([qv.as_f32().astype(np.float32) for qv in qvs])  # [nq, D]
         metric = vc.spec.metric
         if metric is DistanceMetric.L2:
-            dd = np.sqrt(((corpus - qf) ** 2).sum(-1))
+            dd = np.sqrt(((corpus - qf[:, None, :]) ** 2).sum(-1))
         elif metric is DistanceMetric.L1:
-            dd = np.abs(corpus - qf).sum(-1)
+            dd = np.abs(corpus - qf[:, None, :]).sum(-1)
         else:  # cosine
             cn = np.linalg.norm(corpus, axis=-1)
-            qn = np.linalg.norm(qf)
+            qn = np.linalg.norm(qf, axis=-1)[:, None]
             denom = np.maximum(cn * qn, 1e-30)
-            dd = 1.0 - corpus @ qf / denom
-        order = np.argsort(dd, kind="stable")[:k]
-        out_d = np.full((1, k), np.inf, np.float32)
-        out_i = np.full((1, k), -1, np.int32)
-        out_d[0, : order.size] = dd[order]
-        out_i[0, : order.size] = cand[order]
+            dd = 1.0 - np.einsum("bcd,bd->bc", corpus, qf) / denom
+        dd = np.where(ok, dd, np.inf)
+        order = np.argsort(dd, axis=1, kind="stable")[:, :k]
+        out_d = np.take_along_axis(dd, order, 1).astype(np.float32)
+        out_i = np.take_along_axis(slots, order, 1).astype(np.int32)
+        out_i = np.where(np.isfinite(out_d), out_i, -1)
         return out_d, out_i
-
-    @staticmethod
-    def _post_filter(d, i, mask, k):
-        dn, inn = np.asarray(d), np.asarray(i)
-        keep = (inn >= 0) & mask[np.clip(inn, 0, mask.size - 1)]
-        dn = np.where(keep, dn, np.inf)
-        inn = np.where(keep, inn, -1)
-        order = np.argsort(dn, axis=1, kind="stable")[:, :k]
-        return np.take_along_axis(dn, order, 1), np.take_along_axis(inn, order, 1)
 
     # ------------------------------------------------------------------ #
     # maintenance (reference integrity/rebuild)
