@@ -491,15 +491,16 @@ def insert_batch(
     return state
 
 
-def plan_batch_sizes(total: int, max_batch: int = 1024) -> list[int]:
+def plan_batch_sizes(total: int, max_batch: int = 1024, start: int = 1) -> list[int]:
     """Doubling schedule of *live* batch sizes: 1, 1, 2, 4, ... so every
     batch is no larger than the graph it is inserted into (bounds
     within-batch staleness). The device batches are all padded to one fixed
     shape (max_batch) so jit compiles the insert program exactly once per
-    config."""
+    config. ``start`` seeds the schedule with the current graph size for
+    incremental inserts into an existing graph."""
     sizes = []
     done = 0
-    b = 1
+    b = max(1, min(start, max_batch))
     while done < total:
         take = min(b, total - done)
         sizes.append(take)
@@ -516,12 +517,15 @@ def build_graph(
     max_batch: int = 1024,
     state: GraphState | None = None,
     progress: int = 0,
+    start_size: int = 1,
 ) -> GraphState:
     """Build a graph over prepared vectors [N, Dp] (host driver).
 
     Equivalent of rebuild_hnsw_index's re-insert-everything loop
     (src/hnsw/rebuild.rs:20-76) but batched. Batch sizes are padded to the
-    doubling schedule so jit caches a handful of shapes.
+    doubling schedule so jit caches a handful of shapes. ``start_size``
+    seeds the schedule with the current graph size when resuming an
+    interrupted build into an existing ``state``.
     """
     n = vectors_prepared.shape[0]
     if ids is None:
@@ -536,7 +540,7 @@ def build_graph(
     pos = 0
     t0 = _time.time()
     shape = max_batch  # fixed shape: one jit compile per (config, max_batch)
-    for bi_num, take in enumerate(plan_batch_sizes(n, max_batch)):
+    for bi_num, take in enumerate(plan_batch_sizes(n, max_batch, start=start_size)):
         batch_ids = np.full(shape, -1, dtype=np.int32)
         batch_ids[:take] = ids[pos : pos + take]
         if on_device:

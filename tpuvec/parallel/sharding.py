@@ -69,12 +69,60 @@ def _sharded_search(
     k: int,
     ef: int | None,
     n_expand: int = 1,
+    mask: jnp.ndarray | None = None,  # [S, cap] bool, optional filter
 ):
     """All-shard search + top-k merge. q [B, Dp] replicated."""
 
-    def local(state_s: GraphState, q_l: jnp.ndarray):
+    def local(state_s: GraphState, q_l: jnp.ndarray, *mask_s):
         state = jax.tree.map(lambda a: a[0], state_s)  # drop local shard dim
-        d, i = search_graph(config, state, q_l, k=k, ef=ef, n_expand=n_expand)
+        fm = mask_s[0][0] if mask_s else None
+        d, i = search_graph(
+            config, state, q_l, k=k, ef=ef, n_expand=n_expand, filter_mask=fm
+        )
+        shard = jax.lax.axis_index("shard").astype(jnp.int32)
+        gi = jnp.where(i >= 0, shard * config.cap + i, -1)
+        return d[None], gi[None]
+
+    in_specs = (P("shard"), P()) + ((P("shard"),) if mask is not None else ())
+    args = (stacked, q) + ((mask,) if mask is not None else ())
+    d, gi = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=P("shard"),
+        check_vma=False,  # while_loop carries are legitimately unvarying
+    )(*args)
+    # d, gi: [S, B, k] -> merge over shards (XLA all-gathers over ICI)
+    s, b, _ = d.shape
+    d_all = jnp.transpose(d, (1, 0, 2)).reshape(b, s * k)
+    i_all = jnp.transpose(gi, (1, 0, 2)).reshape(b, s * k)
+    return topk_smallest(d_all, i_all, k)
+
+
+@partial(jax.jit, static_argnames=("config", "mesh", "k"))
+def _sharded_exact(
+    config: HnswConfig,
+    mesh: Mesh,
+    stacked: GraphState,
+    q: jnp.ndarray,
+    valid: jnp.ndarray,  # [S, cap] bool
+    *,
+    k: int,
+):
+    """Exact sharded scan: per-shard tiled-matmul brute force + global
+    top-k merge (the ENN path scaled over the mesh, SURVEY §2)."""
+    from tpuvec.index.bruteforce import bruteforce_knn_internal
+
+    def local(state_s: GraphState, q_l: jnp.ndarray, valid_s: jnp.ndarray):
+        state = jax.tree.map(lambda a: a[0], state_s)
+        d, i = bruteforce_knn_internal(
+            q_l,
+            state.vectors,
+            valid_s[0],
+            metric=config.graph_metric,
+            k=k,
+            normalized=config.normalized,
+        )
         shard = jax.lax.axis_index("shard").astype(jnp.int32)
         gi = jnp.where(i >= 0, shard * config.cap + i, -1)
         return d[None], gi[None]
@@ -82,11 +130,10 @@ def _sharded_search(
     d, gi = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("shard"), P()),
+        in_specs=(P("shard"), P(), P("shard")),
         out_specs=P("shard"),
-        check_vma=False,  # while_loop carries are legitimately unvarying
-    )(stacked, q)
-    # d, gi: [S, B, k] -> merge over shards (XLA all-gathers over ICI)
+        check_vma=False,
+    )(stacked, q, valid)
     s, b, _ = d.shape
     d_all = jnp.transpose(d, (1, 0, 2)).reshape(b, s * k)
     i_all = jnp.transpose(gi, (1, 0, 2)).reshape(b, s * k)
@@ -259,12 +306,14 @@ class ShardedHnsw:
         self._insert_rows(per_shard, slots, prepared, batch)
         return shard_ix * self.config.cap + slots
 
-    def _insert_rows(self, per_shard, slots, prepared, batch: int) -> None:
+    def _insert_rows(self, per_shard, slots, prepared, batch: int, start: int = 1) -> None:
         """Interleave per-shard rows into fixed-shape SPMD insert rounds
-        (same schedule on every shard; -1 padding where a shard is idle)."""
+        (same schedule on every shard; -1 padding where a shard is idle).
+        ``start`` seeds the doubling schedule with the current per-shard
+        graph size so warm incremental flushes skip the tiny rounds."""
         max_rows = max((len(rows) for rows in per_shard), default=0)
         pos = [0] * self.n_shards
-        for take in plan_batch_sizes(max_rows, batch):
+        for take in plan_batch_sizes(max_rows, batch, start=start):
             ids = np.full((self.n_shards, batch), -1, dtype=np.int32)
             vecs = np.zeros(
                 (self.n_shards, batch, prepared.shape[1]), dtype=prepared.dtype

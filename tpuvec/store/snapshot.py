@@ -19,12 +19,13 @@ import json
 import os
 import tempfile
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from tpuvec.index.graph import GraphState
 from tpuvec.index.params import HnswParams
-from tpuvec.store.table import ColumnSpec, VecTable
+from tpuvec.store.table import ColumnSpec, VecTable, _MeshVectorColumn
 from tpuvec.types import (
     DistanceMetric,
     IndexQuantization,
@@ -116,6 +117,15 @@ def save(table: VecTable, path: str, *, engine: str = "auto") -> None:
             for cname, sc in table._scalars.items()
         },
     }
+    if table.mesh is not None:
+        vc = next(iter(table.vector_cols.values()))
+        meta["mesh"] = {
+            "n_shards": vc.idx.n_shards,
+            "counts": vc.idx._counts.tolist(),
+            "free": [list(f) for f in vc.idx._free],
+            "rr": vc.idx._rr,
+            "table_rr": table._rr,
+        }
     try:
         meta_json = json.dumps(meta)
     except TypeError as e:
@@ -126,8 +136,9 @@ def save(table: VecTable, path: str, *, engine: str = "auto") -> None:
     arrays: dict[str, np.ndarray] = {}
     for cname, vc in table.vector_cols.items():
         arrays[f"raw::{cname}"] = vc.raw
+        state = vc.idx.stacked if isinstance(vc, _MeshVectorColumn) else vc.state
         for f in _GRAPH_FIELDS:
-            arrays[f"graph::{cname}::{f}"] = np.asarray(getattr(vc.state, f))
+            arrays[f"graph::{cname}::{f}"] = np.asarray(getattr(state, f))
     arrays["__meta__"] = np.frombuffer(meta_json.encode("utf-8"), dtype=np.uint8)
 
     if engine == "native":
@@ -171,8 +182,10 @@ def _open_archive(path: str):
         return {k: z[k] for k in z.files}
 
 
-def load(path: str) -> VecTable:
-    """Restore a VecTable from a snapshot file (tvstore or npz)."""
+def load(path: str, mesh=None) -> VecTable:
+    """Restore a VecTable from a snapshot file (tvstore or npz).
+
+    Mesh-backed snapshots need a ``mesh`` with the same shard count."""
     z = _open_archive(path)
     meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
     if meta.get("format_version") != FORMAT_VERSION:
@@ -180,18 +193,33 @@ def load(path: str) -> VecTable:
             f"unsupported snapshot format {meta.get('format_version')}"
         )
     columns = [_spec_from_json(c) for c in meta["columns"]]
+    mesh_meta = meta.get("mesh")
+    if mesh_meta is not None:
+        if mesh is None:
+            raise InvalidState(
+                "snapshot is mesh-backed: pass load(path, mesh=...) with "
+                f"{mesh_meta['n_shards']} devices"
+            )
+        if mesh.devices.size != mesh_meta["n_shards"]:
+            raise InvalidState(
+                f"snapshot has {mesh_meta['n_shards']} shards, mesh has "
+                f"{mesh.devices.size}"
+            )
     table = VecTable(
         meta["name"],
         columns,
         index_type=IndexType.parse(meta["index_type"]),
-        initial_cap=128,
+        initial_cap=128 if mesh_meta is None else 1,
+        mesh=mesh if mesh_meta is not None else None,
     )
     table._rowid_to_slot = {int(k): v for k, v in meta["rowid_to_slot"].items()}
     table._slot_to_rowid = {v: k for k, v in table._rowid_to_slot.items()}
     table._max_rowid = meta["max_rowid"]
     table._next_slot = meta["next_slot"]
     table._free_slots = list(meta["free_slots"])
-    table._grow_host(max(table._next_slot, 1))
+    table._grow_host(
+        max(max(table._slot_to_rowid, default=0) + 1, table._next_slot, 1)
+    )
     for slot in table._slot_to_rowid:
         table._live[slot] = True
     for cname, vals in meta["scalar_data"].items():
@@ -200,6 +228,41 @@ def load(path: str) -> VecTable:
             sc.set(table._rowid_to_slot[int(rid_s)], v)
     for cname, vc in table.vector_cols.items():
         raw = z[f"raw::{cname}"]
+        if isinstance(vc, _MeshVectorColumn):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            cap = int(z[f"graph::{cname}::vectors"].shape[1])
+            if cap != vc.config.cap:
+                vc.config = dataclasses.replace(
+                    vc.config,
+                    cap=cap,
+                    cap_u=int(z[f"graph::{cname}::upper_nodes"].shape[1]),
+                )
+                vc.idx.config = vc.config
+            vc.raw = raw.copy()
+            sharding = NamedSharding(mesh, P(vc.idx.axis))
+            fields = {
+                f: jax.device_put(jnp.asarray(z[f"graph::{cname}::{f}"]), sharding)
+                for f in _GRAPH_FIELDS
+            }
+            vc.idx.stacked = GraphState(**fields)
+            vc.idx._counts = np.asarray(mesh_meta["counts"], dtype=np.int64)
+            vc.idx._free = [list(f) for f in mesh_meta["free"]]
+            vc.idx._rr = mesh_meta["rr"]
+            table._rr = mesh_meta["table_rr"]
+            vc.idx._part_codes = np.full(
+                (vc.idx.n_shards, cap), -1, dtype=np.int32
+            )
+            if table.partition_col is not None:
+                # rebuild the index-side partition codes from the table's
+                # scalar column (single source of truth)
+                sc = table._scalars[table.partition_col]
+                for rid, slot in table._rowid_to_slot.items():
+                    v = sc.get(slot)
+                    if v is not None:
+                        s, sl = divmod(slot, cap)
+                        vc.idx._part_codes[s, sl] = vc.idx._intern_partition(v)
+            continue
         cap = raw.shape[0]
         if cap != vc.config.cap:
             vc.config = dataclasses.replace(
@@ -212,4 +275,5 @@ def load(path: str) -> VecTable:
             f: jnp.asarray(z[f"graph::{cname}::{f}"]) for f in _GRAPH_FIELDS
         }
         vc.state = GraphState(**fields)
+        vc.refresh_shadow()  # device rerank copy follows the originals
     return table

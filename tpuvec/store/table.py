@@ -33,6 +33,7 @@ import dataclasses
 import threading
 from typing import Any, Iterable, Mapping, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -64,6 +65,18 @@ from tpuvec.utils import timing
 __all__ = ["VecTable", "ColumnSpec", "QueryResult"]
 
 _FLUSH_THRESHOLD = 256
+
+
+def _shadow_budget_bytes() -> int:
+    """HBM budget for the f32 rerank shadow (env-tunable)."""
+    import os
+
+    return int(os.environ.get("TPUVEC_SHADOW_BUDGET_MB", 6144)) * (1 << 20)
+
+
+@jax.jit
+def _shadow_scatter(shadow, ids, vals):
+    return shadow.at[ids].set(vals, mode="drop")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -194,24 +207,53 @@ class _VectorColumn:
         )
         # main store keeps originals (padded); graph keeps the index copy
         self.raw = np.zeros(
-            (self.config.cap, self._raw_width()), dtype=self._raw_dtype()
+            (self.config.cap, _raw_width(spec)), dtype=_raw_dtype(spec)
         )
         self.state: GraphState = allocate(self.config)
+        # device-resident originals for exact rerank after a coarse
+        # quantized search (ops/rerank.py) — only when the f32 copy fits
+        # the HBM budget; otherwise rerank falls back to the host path
+        self.shadow: jnp.ndarray | None = None
+        if (
+            spec.quantization is IndexQuantization.BINARY
+            and spec.vec_type is VectorType.FLOAT32
+            and self.config.cap * spec.dimensions * 4 <= _shadow_budget_bytes()
+        ):
+            self.shadow = jnp.zeros(
+                (self.config.cap, spec.dimensions), jnp.float32
+            )
 
-    def _raw_dtype(self):
-        vt = self.spec.vec_type
-        if vt is VectorType.FLOAT32:
-            return np.float32
-        if vt is VectorType.INT8:
-            return np.int8
-        return np.uint8  # BIT: packed bytes
+    @property
+    def slots_cap(self) -> int:
+        return self.config.cap
 
-    def _raw_width(self) -> int:
-        vt = self.spec.vec_type
-        d = self.spec.dimensions
-        if vt is VectorType.BIT:
-            return (d + 7) // 8
-        return d
+    def refresh_shadow(self) -> None:
+        """(Re)build the rerank shadow from the host originals, or drop it
+        if the column no longer qualifies / fits the budget."""
+        if (
+            self.spec.quantization is IndexQuantization.BINARY
+            and self.spec.vec_type is VectorType.FLOAT32
+            and self.config.cap * self.spec.dimensions * 4
+            <= _shadow_budget_bytes()
+        ):
+            self.shadow = jnp.asarray(self.raw, dtype=jnp.float32)
+        else:
+            self.shadow = None
+
+    def update_shadow(self, slots: np.ndarray, raws: np.ndarray) -> None:
+        """Scatter freshly-inserted originals into the device shadow.
+        Rows are padded to a power of two to bound jit shapes."""
+        if self.shadow is None:
+            return
+        n = len(slots)
+        p = 1 << max(n - 1, 0).bit_length()
+        ids = np.full(p, self.config.cap, dtype=np.int32)  # pad rows dropped
+        ids[:n] = slots
+        vals = np.zeros((p, raws.shape[1]), dtype=np.float32)
+        vals[:n] = raws
+        self.shadow = _shadow_scatter(
+            self.shadow, jnp.asarray(ids), jnp.asarray(vals)
+        )
 
     def grow(self, new_cap: int) -> None:
         """Double capacity: re-pad every array; graph state carries over
@@ -245,6 +287,120 @@ class _VectorColumn:
             upper_count=s.upper_count,
         )
         del old
+        if self.shadow is not None:
+            self.shadow = None  # free the old copy before re-padding
+            self.refresh_shadow()
+
+
+class _MeshVectorColumn:
+    """Device-mesh-backed vector column: the sub-index per shard design
+    (tpuvec/parallel/sharding.py) behind the VecTable product surface.
+
+    Table slots ARE the sharded index's global ids (shard * cap + local),
+    so the host-side live mask / scalar code arrays reshape to [S, cap]
+    per-shard masks for filtered and exact sharded search.
+    """
+
+    def __init__(self, spec: ColumnSpec, total_cap: int, index_type: IndexType, mesh):
+        from tpuvec.parallel.sharding import ShardedHnsw
+
+        self.spec = spec
+        self.params = spec.params or HnswParams()
+        self.has_hnsw = spec.hnsw and index_type is IndexType.HNSW
+        self.mesh = mesh
+        n_shards = mesh.devices.size
+        self.idx = ShardedHnsw(
+            mesh,
+            spec.dimensions,
+            metric=spec.metric,
+            params=self.params,
+            cap_per_shard=max(-(-total_cap // n_shards), 128),
+            quantization=spec.quantization,
+            vec_type=spec.vec_type or VectorType.FLOAT32,
+        )
+        self.config = self.idx.config
+        self.raw = np.zeros(
+            (self.slots_cap, _raw_width(spec)), dtype=_raw_dtype(spec)
+        )
+
+    @property
+    def slots_cap(self) -> int:
+        return self.idx.n_shards * self.config.cap
+
+    def grow(self, new_cap: int) -> None:
+        raise InvalidState(
+            "mesh-backed tables have fixed capacity (set capacity=N in the "
+            f"DDL / initial_cap; current {self.slots_cap})"
+        )
+
+    # --- allocation (delegated to the sharded index) ------------------- #
+
+    def alloc_slot(self, part_value, rr: int) -> int:
+        if part_value is not None:
+            shard = self.idx.shard_of_partition(part_value)
+        else:
+            shard = rr % self.idx.n_shards
+        local = self.idx._alloc_slot(shard)
+        if part_value is not None:
+            self.idx._part_codes[shard, local] = self.idx._intern_partition(
+                part_value
+            )
+        return shard * self.config.cap + local
+
+    def free_slot_count(self) -> int:
+        return sum(len(f) for f in self.idx._free)
+
+    # --- data paths ----------------------------------------------------- #
+
+    def insert_prepared(
+        self, slots: np.ndarray, prepared: np.ndarray, batch: int, start: int = 1
+    ):
+        cap = self.config.cap
+        per_shard: list[list[int]] = [[] for _ in range(self.idx.n_shards)]
+        local = np.empty(len(slots), dtype=np.int64)
+        for row, g in enumerate(slots):
+            s, sl = divmod(int(g), cap)
+            per_shard[s].append(row)
+            local[row] = sl
+        self.idx._insert_rows(per_shard, local, prepared, batch, start=start)
+
+    def delete_slots(self, slots) -> None:
+        self.idx.delete(np.asarray(slots, dtype=np.int64))
+
+    def exact(self, qp, k, valid: np.ndarray):
+        from tpuvec.parallel.sharding import _sharded_exact
+
+        v = jnp.asarray(valid.reshape(self.idx.n_shards, self.config.cap))
+        return _sharded_exact(
+            self.config, self.mesh, self.idx.stacked, qp, v, k=k
+        )
+
+    def hnsw(self, qp, k, ef, mask: np.ndarray | None):
+        from tpuvec.parallel.sharding import _sharded_search
+
+        m = (
+            None
+            if mask is None
+            else jnp.asarray(mask.reshape(self.idx.n_shards, self.config.cap))
+        )
+        return _sharded_search(
+            self.config, self.mesh, self.idx.stacked, qp, k=k, ef=ef, mask=m
+        )
+
+
+def _raw_dtype(spec: ColumnSpec):
+    vt = spec.vec_type
+    if vt is VectorType.FLOAT32:
+        return np.float32
+    if vt is VectorType.INT8:
+        return np.int8
+    return np.uint8  # BIT: packed bytes
+
+
+def _raw_width(spec: ColumnSpec) -> int:
+    if spec.vec_type is VectorType.BIT:
+        return (spec.dimensions + 7) // 8
+    return spec.dimensions
 
 
 class VecTable:
@@ -264,6 +420,7 @@ class VecTable:
         *,
         index_type: IndexType = IndexType.HNSW,
         initial_cap: int = 1024,
+        mesh=None,
     ):
         if not any(c.kind == "vector" for c in columns):
             raise InvalidParameter("vec0 table requires at least one vector column")
@@ -273,11 +430,25 @@ class VecTable:
         self.name = name
         self.columns = list(columns)
         self.index_type = index_type
-        self.vector_cols: dict[str, _VectorColumn] = {
-            c.name: _VectorColumn(c, initial_cap, index_type)
-            for c in columns
-            if c.kind == "vector"
-        }
+        self.mesh = mesh
+        if mesh is not None:
+            vcols = [c for c in columns if c.kind == "vector"]
+            if len(vcols) != 1:
+                raise InvalidParameter(
+                    "mesh-backed tables support exactly one vector column"
+                )
+            self.vector_cols = {
+                vcols[0].name: _MeshVectorColumn(
+                    vcols[0], initial_cap, index_type, mesh
+                )
+            }
+        else:
+            self.vector_cols = {
+                c.name: _VectorColumn(c, initial_cap, index_type)
+                for c in columns
+                if c.kind == "vector"
+            }
+        self._rr = 0  # round-robin shard pointer (mesh mode)
         self.scalar_cols = [c for c in columns if c.kind != "vector"]
         self.partition_col = next(
             (c.name for c in columns if c.kind == "partition"), None
@@ -301,7 +472,7 @@ class VecTable:
 
     @property
     def cap(self) -> int:
-        return next(iter(self.vector_cols.values())).config.cap
+        return next(iter(self.vector_cols.values())).slots_cap
 
     def __len__(self) -> int:
         with self._lock:
@@ -332,7 +503,13 @@ class VecTable:
             )
         return v
 
-    def _alloc_slot(self) -> int:
+    def _alloc_slot(self, part_value=None) -> int:
+        if self.mesh is not None:
+            vc = next(iter(self.vector_cols.values()))
+            slot = vc.alloc_slot(part_value, self._rr)
+            if part_value is None:
+                self._rr += 1
+            return slot
         if self._free_slots:
             return self._free_slots.pop()
         s = self._next_slot
@@ -385,7 +562,12 @@ class VecTable:
                     raise InvalidParameter(f"missing vector for column '{cname}'")
                 vecs[cname] = self._decode_vector(vc.spec, values[cname])
 
-            slot = self._alloc_slot()
+            part = (
+                values.get(self.partition_col)
+                if self.partition_col is not None
+                else None
+            )
+            slot = self._alloc_slot(part)
             if slot >= self._live.shape[0]:
                 self._grow_host(slot + 1)
             for c in self.scalar_cols:
@@ -431,7 +613,17 @@ class VecTable:
                 if vc.spec.vec_type is VectorType.BIT:
                     raws = pack_bits(raws)
                 vc.raw[slots] = raws
+                if isinstance(vc, _VectorColumn):
+                    vc.update_shadow(slots, raws)
                 prepared = self._prepare_batch(vc, pend)
+                if isinstance(vc, _MeshVectorColumn):
+                    vc.insert_prepared(
+                        slots,
+                        prepared,
+                        batch=_FLUSH_THRESHOLD,
+                        start=max(1, graph_size // vc.idx.n_shards),
+                    )
+                    continue
                 pos, size = 0, graph_size
                 while pos < len(pend):
                     take = min(max(size, 1), _FLUSH_THRESHOLD, len(pend) - pos)
@@ -491,13 +683,19 @@ class VecTable:
                     col.clear(s)
                 self._live[s] = False
                 slots.append(s)
-                self._free_slots.append(s)
-            nb = (16 if len(slots) <= 16 else -(-len(slots) // 256) * 256) if slots else 0
-            if nb:
-                ids = np.full(nb, -1, dtype=np.int32)
-                ids[: len(slots)] = slots
+                if self.mesh is None:
+                    self._free_slots.append(s)
+            if not slots:
+                return
+            if self.mesh is not None:
                 for vc in self.vector_cols.values():
-                    vc.state = delete_ids(vc.config, vc.state, jnp.asarray(ids))
+                    vc.delete_slots(slots)
+                return
+            nb = 16 if len(slots) <= 16 else -(-len(slots) // 256) * 256
+            ids = np.full(nb, -1, dtype=np.int32)
+            ids[: len(slots)] = slots
+            for vc in self.vector_cols.values():
+                vc.state = delete_ids(vc.config, vc.state, jnp.asarray(ids))
 
     def update(self, rowid: int, values: Mapping[str, Any]) -> None:
         """Update vector and/or scalar columns for an existing rowid
@@ -720,26 +918,32 @@ class VecTable:
             arr[i] = qv.to_numpy()
         return prepare_vectors(c, jnp.asarray(arr))
 
-    def _exact(self, vc: _VectorColumn, qp, k, mask):
+    def _exact(self, vc, qp, k, mask):
         c = vc.config
-        valid = self._live[: c.cap]
+        valid = self._live[: self.cap]
         if mask is not None:
             valid = valid & mask
-        d, i = bruteforce_knn_internal(
-            qp,
-            vc.state.vectors,
-            jnp.asarray(valid),
-            metric=c.graph_metric,
-            k=k,
-            normalized=c.normalized,
-        )
+        if isinstance(vc, _MeshVectorColumn):
+            d, i = vc.exact(qp, k, np.asarray(valid))
+        else:
+            d, i = bruteforce_knn_internal(
+                qp,
+                vc.state.vectors,
+                jnp.asarray(valid),
+                metric=c.graph_metric,
+                k=k,
+                normalized=c.normalized,
+            )
         out = internal_to_output(c.metric, d, normalized=c.normalized)
         return jnp.where(jnp.isfinite(d), out, jnp.inf), i
 
-    def _hnsw(self, vc: _VectorColumn, qp, k, ef, mask=None):
+    def _hnsw(self, vc, qp, k, ef, mask=None):
         c = vc.config
-        fm = None if mask is None else jnp.asarray(mask)
-        d, i = search_graph(c, vc.state, qp, k=k, ef=ef, filter_mask=fm)
+        if isinstance(vc, _MeshVectorColumn):
+            d, i = vc.hnsw(qp, k, ef, mask)
+        else:
+            fm = None if mask is None else jnp.asarray(mask)
+            d, i = search_graph(c, vc.state, qp, k=k, ef=ef, filter_mask=fm)
         out = internal_to_output(c.metric, d, normalized=c.normalized)
         return jnp.where(jnp.isfinite(d), out, jnp.inf), i
 
@@ -762,6 +966,24 @@ class VecTable:
         else:
             d, i = self._hnsw(vc, qp, coarse_k, None, mask)
         nq = len(qvs)
+        if getattr(vc, "shadow", None) is not None:
+            # device path: candidates never leave HBM (ops/rerank.py)
+            from tpuvec.ops.rerank import rerank_topk
+
+            ok_dev = i >= 0
+            if mask is not None:
+                mdev = jnp.asarray(mask)
+                ok_dev = jnp.logical_and(
+                    ok_dev, mdev[jnp.clip(i, 0, mask.size - 1)]
+                )
+            qf_dev = jnp.zeros((i.shape[0], vc.spec.dimensions), jnp.float32)
+            qf_dev = qf_dev.at[:nq].set(
+                np.stack([qv.as_f32().astype(np.float32) for qv in qvs])
+            )
+            out_d, out_i = rerank_topk(
+                vc.shadow, i, ok_dev, qf_dev, metric=vc.spec.metric, k=k
+            )
+            return np.asarray(out_d)[:nq], np.asarray(out_i)[:nq]
         slots = np.asarray(i)[:nq]  # [nq, C]
         ok = slots >= 0
         if mask is not None:
@@ -797,9 +1019,33 @@ class VecTable:
         with self._lock:
             self.flush()
             problems = []
+            n_live = len(self._rowid_to_slot)
             for cname, vc in self.vector_cols.items():
+                if isinstance(vc, _MeshVectorColumn):
+                    st = vc.idx.stacked
+                    counts = np.asarray(st.count)
+                    eps = np.asarray(st.entry_point)
+                    lv = np.asarray(st.levels)
+                    if int(counts.sum()) != n_live:
+                        problems.append(
+                            f"{cname}: node count {int(counts.sum())} != live rows {n_live}"
+                        )
+                    for s in range(vc.idx.n_shards):
+                        if counts[s] > 0:
+                            if eps[s] < 0:
+                                problems.append(
+                                    f"{cname}: shard {s} missing entry point"
+                                )
+                            elif lv[s][eps[s]] < 0:
+                                problems.append(
+                                    f"{cname}: shard {s} entry point {int(eps[s])} is not live"
+                                )
+                        elif eps[s] >= 0:
+                            problems.append(
+                                f"{cname}: shard {s} entry point set on empty index"
+                            )
+                    continue
                 st = vc.state
-                n_live = len(self._rowid_to_slot)
                 count = int(st.count)
                 if count != n_live:
                     problems.append(
@@ -825,6 +1071,43 @@ class VecTable:
             if params is not None:
                 params.validate()
                 vc.params = params
+            slots = np.array(sorted(self._slot_to_rowid), dtype=np.int32)
+            if isinstance(vc, _MeshVectorColumn):
+                # fresh sharded index with the same allocation state, then
+                # re-insert every live row at its existing slot
+                from tpuvec.parallel.sharding import ShardedHnsw
+
+                old = vc.idx
+                vc.idx = ShardedHnsw(
+                    vc.mesh,
+                    vc.spec.dimensions,
+                    metric=vc.spec.metric,
+                    params=vc.params,
+                    cap_per_shard=vc.config.cap,
+                    quantization=vc.spec.quantization,
+                    vec_type=vc.spec.vec_type or VectorType.FLOAT32,
+                )
+                vc.config = vc.idx.config
+                vc.idx._counts = old._counts
+                vc.idx._free = old._free
+                vc.idx._part_codes = old._part_codes
+                vc.idx._part_list = old._part_list
+                vc.idx._part_code_of = old._part_code_of
+                vc.idx._rr = old._rr
+                if slots.size == 0:
+                    return
+                pend = [
+                    (
+                        self._slot_to_rowid[int(s)],
+                        int(s),
+                        {vc.spec.name: self.row(self._slot_to_rowid[int(s)])[vc.spec.name]},
+                    )
+                    for s in slots
+                ]
+                prepared = self._prepare_batch(vc, pend)
+                vc.insert_prepared(slots, prepared, batch=_FLUSH_THRESHOLD)
+                return
+            if params is not None:
                 vc.config = config_for(
                     vc.spec.dimensions,
                     metric=vc.spec.metric,
@@ -833,7 +1116,6 @@ class VecTable:
                     params=params,
                     cap=vc.config.cap,
                 )
-            slots = np.array(sorted(self._slot_to_rowid), dtype=np.int32)
             if slots.size == 0:
                 vc.state = allocate(vc.config)
                 return
