@@ -87,9 +87,7 @@ def probe_search(cfg, state, x, qpool):
         )
         return hits / (QN * K)
 
-    for use_pallas, n_expand in (
-        (False, 1), (False, 2), (False, 4), (True, 2), (True, 4),
-    ):
+    for use_pallas, n_expand in ((False, 1), (True, 1), (True, 2)):
         tag = ("pallas" if use_pallas else "xla   ") + f" E={n_expand}"
         for ef in (16, 32, 64, 128):
             try:
@@ -115,6 +113,139 @@ def probe_search(cfg, state, x, qpool):
                 f"{tag} ef={ef:4d} recall={recall(np.asarray(i_h)):.4f} "
                 f"{dt * 1e3:7.2f} ms/batch {QN / dt:9.0f} QPS"
             )
+
+
+def probe_ablate(cfg, state, x, qpool):
+    """Attribute per-iteration beam cost: run a fixed-trip while_loop with
+    components progressively enabled, at bench shapes (B=256, ef=16)."""
+    from functools import partial
+
+    from tpuvec.index.search import (
+        _chunked_membership, _node_dist, descend_to_level1,
+    )
+    from tpuvec.ops.sort import bitonic_topk_merge_sorted, rank_topk_merge_sorted
+
+    b, ef, iters = QN, 16, 32
+    qp = prepare_vectors(cfg, jnp.asarray(qpool[:QN]))
+    seed_ids, seed_d = descend_to_level1(cfg, state, qp)
+
+    @partial(jax.jit, static_argnames=("mode",))
+    def run(state, q, seeds, seed_d, *, mode):
+        beam_d = jnp.full((b, ef), jnp.inf, jnp.float32).at[:, 0].set(seed_d)
+        beam_i = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(seeds)
+        beam_x = jnp.zeros((b, ef), jnp.bool_)
+
+        def body(it, carry):
+            beam_d, beam_i, beam_x = carry
+            if mode == 5:
+                # varied gather addresses WITHOUT any merge: isolates the
+                # random-row HBM gather cost from the bookkeeping cost
+                cand = (it * 9973 + jnp.arange(b, dtype=jnp.int32) * 131) % N
+                nbrs = state.adj0[cand]
+                nd = _node_dist(cfg, state, q, nbrs)
+                beam_d = beam_d + nd[:, :ef] * 1e-20
+                return beam_d, beam_i, beam_x
+            # frontier = first unexpanded
+            if mode >= 3 or mode == 4:
+                unexp = jnp.logical_and(
+                    jnp.logical_not(beam_x), jnp.isfinite(beam_d)
+                )
+                pos = jnp.argmax(unexp, axis=1)
+                cand = jnp.take_along_axis(beam_i, pos[:, None], 1)[:, 0]
+                beam_x = beam_x.at[
+                    jnp.arange(b), pos
+                ].set(True)
+            else:
+                cand = beam_i[:, 0]
+            nbrs = state.adj0[jnp.maximum(cand, 0)]
+            nd = _node_dist(cfg, state, q, nbrs)
+            ni = nbrs
+            if mode >= 2 or mode == 4:
+                dup = _chunked_membership(nbrs, beam_i)
+                nd = jnp.where(dup, jnp.inf, nd)
+                ni = jnp.where(dup, -1, nbrs)
+            if mode == 4:
+                beam_d, beam_i, beam_x = rank_topk_merge_sorted(
+                    beam_d, beam_i, beam_x, nd, ni
+                )
+            elif mode >= 1:
+                beam_d, beam_i, beam_x = bitonic_topk_merge_sorted(
+                    beam_d, beam_i, beam_x, nd, ni
+                )
+            else:
+                beam_d = beam_d + nd[:, :ef] * 1e-20  # consume
+            return beam_d, beam_i, beam_x
+
+        out = jax.lax.fori_loop(0, iters, body, (beam_d, beam_i, beam_x))
+        return out[0]
+
+    names = {
+        0: "gather+dist only",
+        1: "+ bitonic merge",
+        2: "+ dedup sweep",
+        3: "+ frontier select",
+        4: "rank merge (full)",
+        5: "varied-addr gather only",
+    }
+    reps = 10
+    rep_qs = [
+        prepare_vectors(cfg, jnp.asarray(qpool[(i + 1) * QN : (i + 2) * QN]))
+        for i in range(5)
+    ]
+    for mode in (0, 5, 1, 4):
+        out = run(state, qp, seed_ids, seed_d, mode=mode)
+        out.block_until_ready()
+        t0 = time.time()
+        outs = [
+            run(state, rep_qs[i % 5], seed_ids, seed_d, mode=mode)
+            for i in range(reps)
+        ]
+        jax.block_until_ready(outs)
+        dt = (time.time() - t0) / reps
+        log(
+            f"ablate {names[mode]:22s} {dt * 1e3:7.2f} ms "
+            f"({dt / iters * 1e6:6.1f} us/iter)"
+        )
+
+
+def probe_bf16(cfg, state, x, qpool):
+    """Search with the index copy downcast to bf16: halves the dominant
+    random-row HBM gather traffic; measures the recall cost directly."""
+    import dataclasses
+
+    st2 = dataclasses.replace(
+        state, vectors=state.vectors.astype(jnp.bfloat16)
+    )
+    qp = prepare_vectors(cfg, jnp.asarray(qpool[:QN]))
+    _, gt_i = bruteforce_knn(
+        qp, prepare_vectors(cfg, jnp.asarray(x)), jnp.ones(N, bool),
+        metric=cfg.graph_metric, k=K, normalized=cfg.normalized,
+    )
+    gt = np.asarray(gt_i)
+    reps = 5
+    rep_qs = [
+        prepare_vectors(cfg, jnp.asarray(qpool[(i + 1) * QN : (i + 2) * QN]))
+        for i in range(reps)
+    ]
+    jax.block_until_ready(rep_qs)
+    for ef in (16, 32, 64):
+        d_h, i_h = search_graph(cfg, st2, qp, k=K, ef=ef)
+        i_h.block_until_ready()
+        t0 = time.time()
+        outs = [
+            search_graph(cfg, st2, rep_qs[i], k=K, ef=ef)[1]
+            for i in range(reps)
+        ]
+        jax.block_until_ready(outs)
+        dt = (time.time() - t0) / reps
+        found = np.asarray(i_h)
+        hits = sum(
+            len(set(found[b].tolist()) & set(gt[b].tolist())) for b in range(QN)
+        )
+        log(
+            f"bf16   ef={ef:4d} recall={hits / (QN * K):.4f} "
+            f"{dt * 1e3:7.2f} ms/batch {QN / dt:9.0f} QPS"
+        )
 
 
 def probe_build(cfg, state, x):
@@ -223,15 +354,38 @@ def main():
     log(f"devices: {jax.devices()}")
     cfg = get_cfg()
     x, qpool = get_data()
-    if what in ("search", "build", "all"):
+    if what in ("search", "build", "ablate", "trace", "bf16", "all"):
         state = get_state(cfg, x)
         if what in ("search", "all"):
             probe_search(cfg, state, x, qpool)
+        if what in ("ablate", "all"):
+            probe_ablate(cfg, state, x, qpool)
+        if what == "bf16":
+            probe_bf16(cfg, state, x, qpool)
+        if what == "trace":
+            probe_trace(cfg, state, x, qpool)
         if what in ("build", "all"):
             probe_build(cfg, state, x)
         del state
     if what in ("recall", "all"):
         probe_recall_iters(cfg, x, qpool)
+
+
+def probe_trace(cfg, state, x, qpool):
+    """Capture a profiler trace of 3 search batches at ef=16."""
+    qp = prepare_vectors(cfg, jnp.asarray(qpool[:QN]))
+    rep_qs = [
+        prepare_vectors(cfg, jnp.asarray(qpool[(i + 1) * QN : (i + 2) * QN]))
+        for i in range(3)
+    ]
+    jax.block_until_ready(rep_qs)
+    out = search_graph(cfg, state, qp, k=K, ef=16)
+    jax.block_until_ready(out)
+    jax.profiler.start_trace("/tmp/tpuvec_trace")
+    outs = [search_graph(cfg, state, rep_qs[i], k=K, ef=16)[1] for i in range(3)]
+    jax.block_until_ready(outs)
+    jax.profiler.stop_trace()
+    log("trace written to /tmp/tpuvec_trace")
 
 
 if __name__ == "__main__":

@@ -111,3 +111,53 @@ def test_bitonic_smallest(rng, width, k):
     order = np.argsort(d, axis=1, kind="stable")[:, :k]
     np.testing.assert_allclose(np.asarray(sd), np.take_along_axis(d, order, 1))
     np.testing.assert_array_equal(np.asarray(si), np.take_along_axis(i, order, 1))
+
+
+@pytest.mark.parametrize("ef,w", [(16, 64), (64, 64), (128, 48)])
+def test_merge_impls_identical(rng, ef, w):
+    """The xor (XLA) and roll (Mosaic) compare-exchange implementations
+    must produce bit-identical merges — the Pallas kernel uses roll, the
+    XLA search loop uses xor, and parity tests compare across them."""
+    from tpuvec.ops.sort import bitonic_topk_merge_sorted
+
+    bd = np.sort(rng.standard_normal((4, ef)).astype(np.float32), axis=1)
+    bi = rng.integers(0, 9999, (4, ef)).astype(np.int32)
+    bx = rng.random((4, ef)) < 0.5
+    nd = rng.standard_normal((4, w)).astype(np.float32)
+    nd[:, w - 5 :] = np.inf
+    ni = np.where(np.isfinite(nd), rng.integers(0, 9999, (4, w)), -1).astype(
+        np.int32
+    )
+    args = tuple(jnp.asarray(a) for a in (bd, bi, bx, nd, ni))
+    outs = {
+        impl: bitonic_topk_merge_sorted(*args, impl=impl)
+        for impl in ("xor", "roll")
+    }
+    for a, b in zip(outs["xor"], outs["roll"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("ef,w", [(16, 64), (64, 64), (128, 48)])
+def test_rank_merge_matches_bitonic(rng, ef, w):
+    """rank_topk_merge_sorted (the XLA hot path) must agree with the
+    bitonic merge on distinct keys, including inf-padding handling."""
+    from tpuvec.ops.sort import (
+        bitonic_topk_merge_sorted, rank_topk_merge_sorted,
+    )
+
+    bd = np.sort(rng.standard_normal((4, ef)).astype(np.float32), axis=1)
+    bd[2, ef // 2 :] = np.inf  # partially-filled beam
+    bi = np.where(np.isfinite(bd), rng.integers(0, 9999, (4, ef)), -1).astype(np.int32)
+    bx = ~np.isfinite(bd) | (rng.random((4, ef)) < 0.5)
+    nd = rng.standard_normal((4, w)).astype(np.float32)
+    nd[:, w - 5 :] = np.inf
+    nd[3] = np.inf  # fully-masked window
+    ni = np.where(np.isfinite(nd), rng.integers(0, 9999, (4, w)), -1).astype(np.int32)
+    args = tuple(jnp.asarray(a) for a in (bd, bi, bx, nd, ni))
+    rd, ri, rx = (np.asarray(a) for a in rank_topk_merge_sorted(*args))
+    sd, si, sx = (np.asarray(a) for a in bitonic_topk_merge_sorted(*args))
+    np.testing.assert_allclose(rd, sd)
+    fin = np.isfinite(rd)
+    np.testing.assert_array_equal(ri[fin], si[fin])
+    np.testing.assert_array_equal(rx[fin], sx[fin])
+    assert np.all(ri[~fin] == -1) and np.all(si[~fin] == -1)

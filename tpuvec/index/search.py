@@ -7,9 +7,12 @@ queries per neighbor batch; here a whole batch of queries advances in
 lock-step inside one jit region:
 
 * the candidate/result heaps (search.rs:192-250) become one fixed-width
-  sorted beam buffer [B, EF] merged with a bitonic network
-  (tpuvec/ops/sort.py) — lax.top_k / lax.sort cost ~450 us per merge on
-  v5e at these shapes, the bitonic network is pure VPU slicing;
+  sorted beam buffer [B, EF] merged by O(S^2) rank computation
+  (rank_topk_merge_sorted, tpuvec/ops/sort.py) — lax.top_k / lax.sort
+  cost ~450 us per merge on v5e at these shapes and even the bitonic
+  network's 28 dependent compare-exchange stages lowered to a 271 us
+  fusion; the rank merge is two big parallel compare/select-reduces
+  with no sequential stages;
 * the HybridVisited set (search.rs:19-52) is GONE: because the beam only
   ever improves, an evicted node can never re-qualify, so membership in
   the current beam is a complete visited test. Dedup is a chunked
@@ -35,7 +38,7 @@ import jax.numpy as jnp
 
 from tpuvec.index.graph import GraphState, HnswConfig
 from tpuvec.ops.distance import gathered_internal, internal_to_output
-from tpuvec.ops.sort import bitonic_topk_merge_sorted
+from tpuvec.ops.sort import rank_topk_merge_sorted
 
 __all__ = ["search_graph", "search", "descend_to_level1", "default_max_iters"]
 
@@ -263,7 +266,7 @@ def beam_search_level0(
     def body(carry):
         beam_d, beam_i, beam_x, sel, active, _, it = carry
         beam_x, nd, ni = expand(beam_d, beam_i, beam_x, sel)
-        beam_d, beam_i, beam_x = bitonic_topk_merge_sorted(
+        beam_d, beam_i, beam_x = rank_topk_merge_sorted(
             beam_d, beam_i, beam_x, nd, ni
         )
         # padding slots (inf) must never be frontier
@@ -276,14 +279,14 @@ def beam_search_level0(
         beam_x, nd, ni = expand(beam_d, beam_i, beam_x, sel)
         # collect mask-passing nodes from the whole expanded window
         allow = jnp.logical_and(ni >= 0, node_mask[jnp.maximum(ni, 0)])
-        res_d, res_i, res_x = bitonic_topk_merge_sorted(
+        res_d, res_i, res_x = rank_topk_merge_sorted(
             res_d,
             res_i,
             res_x,
             jnp.where(allow, nd, _INF),
             jnp.where(allow, ni, -1),
         )
-        beam_d, beam_i, beam_x = bitonic_topk_merge_sorted(
+        beam_d, beam_i, beam_x = rank_topk_merge_sorted(
             beam_d, beam_i, beam_x, nd, ni
         )
         beam_x = jnp.logical_or(beam_x, jnp.logical_not(jnp.isfinite(beam_d)))

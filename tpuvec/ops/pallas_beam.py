@@ -49,7 +49,7 @@ __all__ = ["beam_update", "beam_update_reference"]
 _INF = float("inf")  # plain float: a jnp constant would be captured by the kernel
 
 
-def _beam_update_math(beam_d, beam_i, beam_x, nbrs, nd, n_expand):
+def _beam_update_math(beam_d, beam_i, beam_x, nbrs, nd, n_expand, impl="roll"):
     """The shared math: runs identically inside the kernel and as jnp."""
     b, efp = beam_d.shape
     w = nbrs.shape[1]
@@ -72,7 +72,9 @@ def _beam_update_math(beam_d, beam_i, beam_x, nbrs, nd, n_expand):
     nim = jnp.where(fresh, nbrs, -1)
 
     # merge: sorted-beam bitonic merge (split + log-stages, ops/sort.py)
-    sd, si, sx = bitonic_topk_merge_sorted(beam_d, beam_i, beam_x, ndm, nim)
+    sd, si, sx = bitonic_topk_merge_sorted(
+        beam_d, beam_i, beam_x, ndm, nim, impl=impl
+    )
     sx = jnp.logical_or(sx.astype(jnp.bool_), jnp.logical_not(jnp.isfinite(sd)))
 
     # next frontier: first E unexpanded of the (sorted) beam
@@ -101,6 +103,12 @@ def beam_update_reference(beam_d, beam_i, beam_x, nbrs, nd, *, n_expand=1):
     return _beam_update_math(beam_d, beam_i, beam_x, nbrs, nd, n_expand)
 
 
+def _kernel_impl(interpret: bool) -> str:
+    # pltpu.roll lowers to a single hardware lane rotate under Mosaic and
+    # has a matching interpreter path, so both modes share it
+    return "proll"
+
+
 @functools.partial(jax.jit, static_argnames=("n_expand", "interpret"))
 def beam_update(beam_d, beam_i, beam_x, nbrs, nd, *, n_expand=1, interpret=False):
     """Fused beam update as one Pallas kernel.
@@ -115,7 +123,8 @@ def beam_update(beam_d, beam_i, beam_x, nbrs, nd, *, n_expand=1, interpret=False
 
     def kernel(bd, bi, bx, nb, ndr, od, oi, ox, oc, oa):
         sd, si, sx, cand, active = _beam_update_math(
-            bd[:], bi[:], bx[:].astype(jnp.bool_), nb[:], ndr[:], e
+            bd[:], bi[:], bx[:].astype(jnp.bool_), nb[:], ndr[:], e,
+            impl=_kernel_impl(interpret),
         )
         od[:] = sd
         oi[:] = si
