@@ -248,6 +248,62 @@ def probe_bf16(cfg, state, x, qpool):
         )
 
 
+def probe_degree(base_cfg, x, qpool):
+    """Search QPS is bound by gathered-row count (B x M0 rows/iter at
+    ~16 ns/row): build graphs at smaller M0 and measure recall/QPS/build
+    rate. hnswlib's defaults are m=16, M0=32 — the reference's 32/64 was
+    tuned for CPU cache lines, not a TPU gather engine."""
+    from tpuvec.utils.transfer import prepare_vectors_device
+
+    qp = None
+    gt = None
+    reps = 5
+    for m, m0, efc in ((16, 32, 128), (16, 32, 200), (12, 24, 128)):
+        params = HnswParams(m=m, max_m0=m0, ef_construction=efc, ef_search=128)
+        cfg = config_for(D, metric=DistanceMetric.COSINE, params=params, cap=N)
+        xp = prepare_vectors_device(cfg, x)
+        t0 = time.time()
+        state = build_graph(cfg, xp, max_batch=1024)
+        state.count.block_until_ready()
+        rate = N / (time.time() - t0)
+        if qp is None:
+            qp = prepare_vectors(cfg, jnp.asarray(qpool[:QN]))
+            _, gt_i = bruteforce_knn(
+                qp, xp, jnp.ones(N, bool), metric=cfg.graph_metric,
+                k=K, normalized=cfg.normalized,
+            )
+            gt = np.asarray(gt_i)
+            rep_qs = [
+                prepare_vectors(
+                    cfg, jnp.asarray(qpool[(i + 1) * QN : (i + 2) * QN])
+                )
+                for i in range(reps)
+            ]
+            jax.block_until_ready(rep_qs)
+        del xp
+        for ef in (16, 24, 32, 48, 64):
+            d_h, i_h = search_graph(cfg, state, qp, k=K, ef=ef)
+            i_h.block_until_ready()
+            t0 = time.time()
+            outs = [
+                search_graph(cfg, state, rep_qs[i], k=K, ef=ef)[1]
+                for i in range(reps)
+            ]
+            jax.block_until_ready(outs)
+            dt = (time.time() - t0) / reps
+            found = np.asarray(i_h)
+            hits = sum(
+                len(set(found[b].tolist()) & set(gt[b].tolist()))
+                for b in range(QN)
+            )
+            log(
+                f"m={m}/{m0} efc={efc} build={rate:.0f}v/s ef={ef:3d} "
+                f"recall={hits / (QN * K):.4f} {dt * 1e3:7.2f} ms "
+                f"{QN / dt:9.0f} QPS"
+            )
+        del state
+
+
 def probe_build(cfg, state, x):
     """Connect-stage breakdown at nb=1024 on a warm 100K graph."""
     from tpuvec.index.build import (
@@ -354,6 +410,8 @@ def main():
     log(f"devices: {jax.devices()}")
     cfg = get_cfg()
     x, qpool = get_data()
+    if what == "degree":
+        probe_degree(cfg, x, qpool)
     if what in ("search", "build", "ablate", "trace", "bf16", "all"):
         state = get_state(cfg, x)
         if what in ("search", "all"):
