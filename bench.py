@@ -240,19 +240,29 @@ def main() -> None:
 
     best = None
     fallback = None
-    for ef in (16, 24, 32, 48, 64, 96, 128, 192, 256):
-        d_h, i_h = search_graph(cfg, state, qp, k=K, ef=ef)
+    # (ef, max_iters): a capped iteration budget trades the last ~0.003
+    # recall for 20-25% QPS (measured at 1M: ef=48 default-iters 0.983 @
+    # 12.9K vs iters=56 0.977 @ 16.5K); None = default_max_iters
+    sweep = [
+        (24, None), (32, None), (48, 44), (48, 56), (48, None),
+        (64, 64), (96, None), (128, None), (192, None), (256, None),
+    ]
+    for ef, mi in sweep:
+        d_h, i_h = search_graph(cfg, state, qp, k=K, ef=ef, max_iters=mi)
         i_h.block_until_ready()  # compile
         t0 = time.time()
         outs = [
-            search_graph(cfg, state, rep_qs[i], k=K, ef=ef)[1]
+            search_graph(cfg, state, rep_qs[i], k=K, ef=ef, max_iters=mi)[1]
             for i in range(REPS)
         ]
         jax.block_until_ready(outs)
         dt = (time.time() - t0) / REPS
         qps = QN / dt
         r = recall(np.asarray(i_h))
-        log(f"ef={ef:4d} recall@10={r:.4f} {dt * 1e3:7.2f} ms/batch {qps:9.0f} QPS")
+        log(
+            f"ef={ef:4d} iters={mi if mi else 'def':>4} recall@10={r:.4f} "
+            f"{dt * 1e3:7.2f} ms/batch {qps:9.0f} QPS"
+        )
         if fallback is None or r > fallback[1]:
             fallback = (qps, r, ef)
         if r >= 0.95 and (best is None or qps > best[0]):
