@@ -128,3 +128,35 @@ def test_mesh_rebuild(mesh):
     t.rebuild("emb", params=HnswParams(m=4, max_m0=8, ef_construction=32, ef_search=32))
     assert t.integrity_check() == []
     assert t.knn("emb", x[42], k=1)[0].rowid == rids[42]
+
+
+def test_mesh_sql_surface(mesh):
+    """The SQL engine drives mesh-backed tables end to end: DDL with a
+    partition key, inserts routed by tenant, MATCH with a partition
+    filter (BASELINE config 5's shape through the product SQL surface)."""
+    from tpuvec.sql.engine import connect
+
+    db = connect(mesh=mesh)
+    db.execute(
+        "CREATE VIRTUAL TABLE mt USING vec0("
+        "emb float[16] hnsw(m=4, ef_construction=16), "
+        "tenant text partition key, capacity=2048)"
+    )
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((120, 16)).astype(np.float32)
+    for i, v in enumerate(x):
+        db.execute(
+            "INSERT INTO mt(rowid, emb, tenant) VALUES (?, ?, ?)",
+            (i + 1, v.tobytes(), f"t{i % 5}"),
+        )
+    rows = db.execute(
+        "SELECT rowid, distance FROM mt WHERE emb MATCH ? AND k = 3",
+        (x[7].tobytes(),),
+    ).fetchall()
+    assert rows and rows[0][0] == 8
+    rows = db.execute(
+        "SELECT rowid, distance FROM mt WHERE emb MATCH ? AND tenant = ? AND k = 4",
+        (x[10].tobytes(), "t0"),
+    ).fetchall()
+    assert rows and all((r[0] - 1) % 5 == 0 for r in rows)
+    assert db.integrity_check("mt") == []

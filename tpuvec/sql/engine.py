@@ -39,8 +39,8 @@ from tpuvec.types import (
 __all__ = ["Database", "connect", "Cursor"]
 
 
-def connect(path: str = ":memory:") -> "Database":
-    return Database(path)
+def connect(path: str = ":memory:", mesh=None) -> "Database":
+    return Database(path, mesh=mesh)
 
 
 class Cursor:
@@ -96,10 +96,16 @@ class Database:
     """A connection-like object holding vec0 tables plus a real SQLite
     connection for everything else."""
 
-    def __init__(self, path: str = ":memory:"):
+    def __init__(self, path: str = ":memory:", mesh=None):
+        """``mesh``: an optional jax.sharding.Mesh — vec0 tables created
+        on this connection are mesh-backed (partition keys route rows to
+        shards; queries fan out with an all-gather top-k merge). The
+        multi-tenant scale-out the reference only parses partition keys
+        for (src/vtab.rs:854-859)."""
         self.sqlite = sqlite3.connect(path)
         F.register_all(self.sqlite)
         self.tables: dict[str, VecTable] = {}
+        self.mesh = mesh
 
     # -------------------------------------------------------------- #
 
@@ -137,6 +143,7 @@ class Database:
                 columns,
                 index_type=index_type,
                 initial_cap=options.get("capacity", 1024),
+                mesh=self.mesh,
             )
             return Cursor([], [])
 
