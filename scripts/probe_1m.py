@@ -1,5 +1,5 @@
 """North-star probe: 1M x 768 f32 cosine on one chip (BASELINE.json)."""
-import time, sys, numpy as np, jax, jax.numpy as jnp
+import time, numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/tpuvec_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from tpuvec.index import HnswParams, bruteforce_knn

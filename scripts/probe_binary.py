@@ -13,13 +13,12 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/tpuvec_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from tpuvec.index import HnswParams
-from tpuvec.index.bruteforce import bruteforce_knn
 from tpuvec.index.build import build_graph
 from tpuvec.index.graph import config_for, prepare_vectors
 from tpuvec.index.search import search_graph
 from tpuvec.types import DistanceMetric, IndexQuantization
 from tpuvec.utils.data import synthetic_embeddings
-from tpuvec.utils.transfer import prepare_vectors_chunked, to_device_chunked
+from tpuvec.utils.transfer import prepare_vectors_chunked
 
 n = int(os.environ.get("TPUVEC_PROBE_N", 2_000_000))
 d, k, qn, coarse_k = 1024, 10, 256, 128
