@@ -102,6 +102,9 @@ def _restore_state(cfg, xp_dev, jnp):
         with open(SIDECAR) as f:
             side = json.load(f)
         z = np.load(CKPT)
+        if z["upper_adj"].ndim != 2:  # pre-flattening checkpoint layout
+            log("checkpoint from an older graph layout; starting fresh")
+            return None, 0, 0.0
         pos = int(side["pos"])
         fields = {f: jnp.asarray(z[f]) for f in _CKPT_FIELDS}
         mask = (np.arange(N) < pos)[:, None]

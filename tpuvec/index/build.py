@@ -285,12 +285,13 @@ def _stage_upper(
 
             # forward edges
             row_tgt = jnp.where(at_lev, slot, c.cap_u)
-            upper_adj = upper_adj.at[row_tgt, lev - 1].set(sel_i, mode="drop")
-            upper_dist = upper_dist.at[row_tgt, lev - 1].set(sel_d, mode="drop")
+            lo, hi = (lev - 1) * c.m, lev * c.m
+            upper_adj = upper_adj.at[row_tgt, lo:hi].set(sel_i, mode="drop")
+            upper_dist = upper_dist.at[row_tgt, lo:hi].set(sel_d, mode="drop")
 
             # reverse edges with prune (scan keeps conflicting updates exact)
-            adj_l = upper_adj[:, lev - 1, :]
-            dist_l = upper_dist[:, lev - 1, :]
+            adj_l = upper_adj[:, lo:hi]
+            dist_l = upper_dist[:, lo:hi]
 
             def rev_body(carry, inp):
                 a, ad = carry
@@ -307,8 +308,8 @@ def _stage_upper(
             (adj_l, dist_l), _ = jax.lax.scan(
                 rev_body, (adj_l, dist_l), (new_ids, sel_i, sel_d, at_lev)
             )
-            upper_adj = upper_adj.at[:, lev - 1, :].set(adj_l)
-            upper_dist = upper_dist.at[:, lev - 1, :].set(dist_l)
+            upper_adj = upper_adj.at[:, lo:hi].set(adj_l)
+            upper_dist = upper_dist.at[:, lo:hi].set(dist_l)
             return upper_adj, upper_dist
 
         # most batches have no member at higher levels — skip the matmul

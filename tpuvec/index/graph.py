@@ -18,8 +18,10 @@ Layout (cap = node capacity, Dp = dim padded to a lane multiple):
   levels      i32 [cap]        node level; -1 = absent/deleted
   upper_slot  i32 [cap]        compact-slot id for nodes with level >= 1
   upper_nodes i32 [cap_u]      slot -> node id (-1 = unused)
-  upper_adj   i32 [cap_u, LU, M]   adjacency at levels 1..LU (index l-1)
-  upper_dist  f32 [cap_u, LU, M]
+  upper_adj   i32 [cap_u, LU*M]   adjacency at levels 1..LU (level l at
+  upper_dist  f32 [cap_u, LU*M]   columns [(l-1)*M, l*M) — flattened 2D:
+                                  XLA pads a [cap_u, LU, M] layout's minor
+                                  dims to (8,128) tiles, 8x the HBM)
   entry_point / entry_level / count / upper_count   scalars
 
 Only ~1/M of nodes have level >= 1, so the upper graph is stored compactly
@@ -155,8 +157,8 @@ class GraphState:
     levels: jnp.ndarray        # [cap] i32 (-1 absent)
     upper_slot: jnp.ndarray    # [cap] i32 (-1 none)
     upper_nodes: jnp.ndarray   # [cap_u] i32 (-1 unused)
-    upper_adj: jnp.ndarray     # [cap_u, LU, M] i32
-    upper_dist: jnp.ndarray    # [cap_u, LU, M] f32
+    upper_adj: jnp.ndarray     # [cap_u, LU*M] i32 (level l-1 at cols [(l-1)M, lM))
+    upper_dist: jnp.ndarray    # [cap_u, LU*M] f32
     entry_point: jnp.ndarray   # [] i32
     entry_level: jnp.ndarray   # [] i32
     count: jnp.ndarray         # [] i32
@@ -173,8 +175,8 @@ def allocate(config: HnswConfig) -> GraphState:
         levels=jnp.full((c.cap,), -1, dtype=jnp.int32),
         upper_slot=jnp.full((c.cap,), -1, dtype=jnp.int32),
         upper_nodes=jnp.full((c.cap_u,), -1, dtype=jnp.int32),
-        upper_adj=jnp.full((c.cap_u, c.lu, c.m), -1, dtype=jnp.int32),
-        upper_dist=jnp.full((c.cap_u, c.lu, c.m), jnp.inf, dtype=jnp.float32),
+        upper_adj=jnp.full((c.cap_u, c.lu * c.m), -1, dtype=jnp.int32),
+        upper_dist=jnp.full((c.cap_u, c.lu * c.m), jnp.inf, dtype=jnp.float32),
         entry_point=jnp.int32(-1),
         entry_level=jnp.int32(-1),
         count=jnp.int32(0),

@@ -98,7 +98,10 @@ def descend_to_level1(
         def body(carry):
             cur, cur_d, _, it = carry
             slots = state.upper_slot[jnp.maximum(cur, 0)]          # [B]
-            nbrs = state.upper_adj[jnp.maximum(slots, 0), lev - 1]  # [B, M]
+            m = config.m
+            nbrs = state.upper_adj[jnp.maximum(slots, 0)][
+                :, (lev - 1) * m : lev * m
+            ]  # [B, M]
             nbrs = jnp.where(slots[:, None] >= 0, nbrs, -1)
             nd = _node_dist(config, state, q, nbrs)                 # [B, M]
             best = jnp.argmin(nd, axis=-1)
