@@ -12,7 +12,7 @@ import numpy as np
 from tpuvec.utils.data import synthetic_embeddings
 
 N, D, GEN_CHUNK = 10_000_000, 1024, 250_000
-OUT = "/tmp/x10m_chunks"
+OUT = "/tmp/x10m_chunks_v2"
 
 
 def main():
@@ -22,7 +22,8 @@ def main():
         if os.path.exists(path):
             continue
         x = synthetic_embeddings(
-            GEN_CHUNK, D, n_clusters=1024, seed=10_000 + start // GEN_CHUNK
+            GEN_CHUNK, D, n_clusters=1024,
+            seed=10_000 + start // GEN_CHUNK, structure_seed=77,
         )
         np.save(path + ".tmp.npy", x)
         os.replace(path + ".tmp.npy", path)

@@ -26,17 +26,29 @@ def synthetic_embeddings(
     noise: float = 0.05,
     seed: int = 0,
     normalize: bool = True,
+    structure_seed: int | None = None,
 ) -> np.ndarray:
     """n embeddings of dimension d on an intrinsic_dim manifold.
 
     x = basis @ (center_c + within-cluster offset) + ambient noise,
     then L2-normalized. Deterministic in (n, d, params, seed).
+
+    ``structure_seed`` (default: seed) seeds the manifold itself (basis,
+    centers, cluster sizes) separately from the row draws — REQUIRED when
+    generating one corpus in independently-seeded chunks: with per-chunk
+    seeds each chunk otherwise gets its own random 48-dim subspace of
+    R^d, making chunks mutually near-orthogonal and nearest neighbors
+    meaningless (coarse binary recall measured ~0.007 on such a corpus
+    vs ~0.95 on a shared manifold).
     """
+    rng_s = np.random.default_rng(
+        seed if structure_seed is None else structure_seed
+    )
     rng = np.random.default_rng(seed)
-    basis = rng.standard_normal((intrinsic_dim, d), dtype=np.float32)
+    basis = rng_s.standard_normal((intrinsic_dim, d), dtype=np.float32)
     basis /= np.linalg.norm(basis, axis=1, keepdims=True)
-    centers = rng.standard_normal((n_clusters, intrinsic_dim), dtype=np.float32)
-    sizes = rng.dirichlet(np.full(n_clusters, 1.5))
+    centers = rng_s.standard_normal((n_clusters, intrinsic_dim), dtype=np.float32)
+    sizes = rng_s.dirichlet(np.full(n_clusters, 1.5))
     assign = rng.choice(n_clusters, size=n, p=sizes)
     z = centers[assign] + 0.35 * rng.standard_normal(
         (n, intrinsic_dim), dtype=np.float32
