@@ -109,6 +109,31 @@ def test_sharded_snapshot_roundtrip(mesh, tmp_path):
     assert got and set(got) <= tenant2
 
 
+def test_update_preserves_partition_codes(mesh):
+    """update() without `partitions` must keep tenant membership: delete()
+    clears the per-slot codes and update must restore them (advisor
+    round 2, medium)."""
+    rng = np.random.default_rng(7)
+    n, d = 100, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    tenants = (np.arange(n) % 4).tolist()
+    idx = ShardedHnsw(
+        mesh, d, metric=DistanceMetric.L2, params=PARAMS, cap_per_shard=64
+    )
+    gids = idx.add(x, partitions=tenants, batch=32)
+
+    # update a few tenant-2 rows in place, no partitions argument
+    rows = [r for r in range(n) if tenants[r] == 2][:3]
+    new_vecs = rng.standard_normal((len(rows), d)).astype(np.float32)
+    idx.update(gids[rows], new_vecs)
+
+    d_s, i_s = idx.search(new_vecs[0][None], k=3, partition=2)
+    got = [int(g) for g in np.asarray(i_s)[0] if g >= 0]
+    assert int(gids[rows[0]]) in got, "updated row vanished from its partition"
+    tenant2 = {int(gids[r]) for r in range(n) if tenants[r] == 2}
+    assert set(got) <= tenant2
+
+
 def test_thousand_partitions(mesh):
     # BASELINE config 5 shape: 1K partition keys routed across the mesh
     rng = np.random.default_rng(11)

@@ -203,6 +203,77 @@ class TestSnapshot:
         assert len(t2) == 41
         assert t2.integrity_check() == []
 
+    def test_roundtrip_presized_capacity(self, rng, tmp_path):
+        """Snapshot of a table whose capacity far exceeds its high-water
+        slot must restore host arrays at full capacity: exact knn reshapes
+        the live mask against cap (advisor round 2, high)."""
+        cols = [
+            ColumnSpec.vector(
+                "emb", 32, metric=DistanceMetric.L2, hnsw=False
+            ),
+            ColumnSpec.metadata("label"),
+        ]
+        t = VecTable("pre", cols, initial_cap=4096, index_type=IndexType.ENN)
+        x = rand_rows(rng, 8)
+        for i in range(8):
+            t.insert({"emb": x[i], "label": i})
+        path = str(tmp_path / "pre.npz")
+        save(t, path)
+        t2 = load(path)
+        assert t2._live.shape[0] >= t2.cap
+        res = t2.knn("emb", x[2], k=3, exact=True)
+        assert res[0].rowid == 3
+        # scalar filters gather through full-cap code arrays
+        res = t2.knn("emb", x[2], k=3, filters={"label": 2})
+        assert [r.rowid for r in res] == [3]
+
+    def test_load_v1_3d_upper_arrays(self, rng, tmp_path):
+        """Pre-flattening v1 snapshots carried [cap_u, LU, M] upper
+        arrays; load() must reshape them (advisor round 2, medium)."""
+        t = small_table()
+        x = rand_rows(rng, 40)
+        for i in range(40):
+            t.insert({"emb": x[i]})
+        before = [r.rowid for r in t.knn("emb", x[3], k=5)]
+        path = str(tmp_path / "v1.npz")
+        save(t, path)
+
+        import json as _json
+
+        with np.load(path, allow_pickle=False) as z:
+            arrays = {k: z[k] for k in z.files}
+        meta = _json.loads(bytes(arrays["__meta__"]).decode())
+        meta["format_version"] = 1
+        arrays["__meta__"] = np.frombuffer(
+            _json.dumps(meta).encode(), dtype=np.uint8
+        )
+        cfg = next(iter(t.vector_cols.values())).config
+        for f in ("upper_adj", "upper_dist"):
+            a = arrays[f"graph::emb::{f}"]
+            arrays[f"graph::emb::{f}"] = a.reshape(a.shape[0], cfg.lu, cfg.m)
+        np.savez(path, **arrays)
+
+        t2 = load(path)
+        assert [r.rowid for r in t2.knn("emb", x[3], k=5)] == before
+
+    def test_load_unknown_version_rejected(self, rng, tmp_path):
+        t = small_table()
+        t.insert({"emb": rand_rows(rng, 1)[0]})
+        path = str(tmp_path / "vx.npz")
+        save(t, path)
+        import json as _json
+
+        with np.load(path, allow_pickle=False) as z:
+            arrays = {k: z[k] for k in z.files}
+        meta = _json.loads(bytes(arrays["__meta__"]).decode())
+        meta["format_version"] = 99
+        arrays["__meta__"] = np.frombuffer(
+            _json.dumps(meta).encode(), dtype=np.uint8
+        )
+        np.savez(path, **arrays)
+        with pytest.raises(InvalidState):
+            load(path)
+
 
 class TestElementTypes:
     def test_int8_column(self, rng):

@@ -205,7 +205,11 @@ def beam_search_level0(
     # seed slot must sort first: it does (others are inf)
 
     if use_mask:
-        kp = _next_pow2(max(k_out, 2))
+        # 2x over-provision: a node evicted from the beam can be collected
+        # twice (deduped post-loop), so a k-wide buffer can end up with
+        # fewer than k uniques and force callers into the exact-scan
+        # fallback (advisor round 2, low)
+        kp = _next_pow2(max(2 * k_out, 4))
         seed_ok = jnp.logical_and(
             seed_ids >= 0, node_mask[jnp.maximum(seed_ids, 0)]
         )

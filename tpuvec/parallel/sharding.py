@@ -369,9 +369,14 @@ class ShardedHnsw:
         the reference's update semantics, src/vtab.rs:1860-2016): global
         ids stay stable."""
         gids = np.asarray(global_ids, dtype=np.int64).ravel()
-        self.delete(gids)
         shard = gids // self.config.cap
         slot = gids % self.config.cap
+        # delete() clears _part_codes; keep the old codes so an update
+        # without an explicit `partitions` preserves tenant membership
+        old_codes = [
+            int(self._part_codes[int(s), int(sl)]) for s, sl in zip(shard, slot)
+        ]
+        self.delete(gids)
         prepared = np.asarray(prepare_vectors(self.config, jnp.asarray(vectors)))
         per_shard: list[list[int]] = [[] for _ in range(self.n_shards)]
         for row, (s, sl) in enumerate(zip(shard, slot)):
@@ -380,6 +385,8 @@ class ShardedHnsw:
             per_shard[s].append(row)
             if partitions is not None:
                 self._part_codes[s, sl] = self._intern_partition(partitions[row])
+            else:
+                self._part_codes[s, sl] = old_codes[row]
         self._insert_rows(per_shard, slot, prepared, batch)
 
     def search(

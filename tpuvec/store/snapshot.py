@@ -36,7 +36,11 @@ from tpuvec.types import (
 
 __all__ = ["save", "load", "FORMAT_VERSION"]
 
-FORMAT_VERSION = 1
+# v1: original layout (upper_adj/upper_dist were [cap_u, LU, M] 3D early on,
+#     later flattened to [cap_u, LU*M] without a bump — load() reshapes).
+# v2: upper arrays are always 2D [cap_u, LU*M].
+FORMAT_VERSION = 2
+_READABLE_VERSIONS = (1, 2)
 
 _GRAPH_FIELDS = [
     "vectors",
@@ -188,10 +192,19 @@ def load(path: str, mesh=None) -> VecTable:
     Mesh-backed snapshots need a ``mesh`` with the same shard count."""
     z = _open_archive(path)
     meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
-    if meta.get("format_version") != FORMAT_VERSION:
+    if meta.get("format_version") not in _READABLE_VERSIONS:
         raise InvalidState(
             f"unsupported snapshot format {meta.get('format_version')}"
         )
+    # v1 snapshots written before the upper-array flattening carry
+    # [cap_u, LU, M] arrays; the runtime layout is [cap_u, LU*M]. Mesh
+    # snapshots stack a leading shard axis, so the expected rank is 2
+    # (+1 when mesh) and a one-higher rank means "pre-flattening v1".
+    expect_ndim = 2 if meta.get("mesh") is None else 3
+    for key in list(z):
+        if key.endswith("::upper_adj") or key.endswith("::upper_dist"):
+            if z[key].ndim == expect_ndim + 1:
+                z[key] = z[key].reshape(*z[key].shape[: expect_ndim - 1], -1)
     columns = [_spec_from_json(c) for c in meta["columns"]]
     mesh_meta = meta.get("mesh")
     if mesh_meta is not None:
@@ -276,4 +289,9 @@ def load(path: str, mesh=None) -> VecTable:
         }
         vc.state = GraphState(**fields)
         vc.refresh_shadow()  # device rerank copy follows the originals
+    # host slot arrays (_live, scalar columns) must cover the FULL slot
+    # capacity, not just the high-water slot: exact-scan paths reshape
+    # the live mask against cap, and clamped gathers against a short
+    # mask silently mis-filter (advisor round 2, high)
+    table._grow_host(table.cap)
     return table
