@@ -203,6 +203,85 @@ class TestDatabase:
         got = [r[0] for r in rows]
         assert got and all(g % 2 == 0 for g in got)  # rowid = i+1, odd i -> even rowid
 
+    def test_vec_expr_projections(self):
+        """vec_*(col) expressions in SELECT projections — the top slice of
+        the SQL composability the reference gets from SQLite's planner
+        (src/vtab.rs:2341-2482, integration_test.rs:681-1076)."""
+        db = self.make_db()
+        v = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+        db.execute(
+            "INSERT INTO t(rowid, e, label) VALUES (1, vec_f32(?), 'a')",
+            [json.dumps(v)],
+        )
+        cur = db.execute(
+            "SELECT rowid, vec_to_json(e), vec_length(e) AS n, label "
+            "FROM t WHERE rowid = 1"
+        )
+        row = cur.fetchone()
+        assert row[0] == 1
+        assert json.loads(row[1]) == v
+        assert row[2] == 8
+        assert row[3] == "a"
+        assert cur.description[2][0] == "n"
+
+    def test_vec_expr_projection_with_knn_and_filter(self):
+        """Function projections + MATCH + metadata filter in ONE statement."""
+        db = self.make_db()
+        for i in range(12):
+            v = [float(i)] + [0.0] * 7
+            db.execute(
+                "INSERT INTO t(e, label) VALUES (vec_f32(?), ?)",
+                [json.dumps(v), "even" if i % 2 == 0 else "odd"],
+            )
+        rows = db.execute(
+            "SELECT rowid, distance, vec_to_json(e), label FROM t "
+            "WHERE e MATCH ? AND k = 2 AND label = ?",
+            [json.dumps([3.8] + [0.0] * 7), "odd"],
+        ).fetchall()
+        assert rows, "no results"
+        for rid, dist, ejson, label in rows:
+            assert label == "odd"
+            assert json.loads(ejson)[0] == float(rid - 1)
+            assert dist >= 0
+
+    def test_vec_expr_projection_with_param(self):
+        """A `?` inside a projection binds before WHERE params (textual
+        order), e.g. distance-to-a-second-anchor per result row."""
+        db = self.make_db()
+        for i in range(6):
+            db.execute(
+                "INSERT INTO t(e) VALUES (vec_f32(?))",
+                [json.dumps([float(i)] + [0.0] * 7)],
+            )
+        anchor = json.dumps([0.0] * 8)
+        probe = json.dumps([2.1] + [0.0] * 7)
+        rows = db.execute(
+            "SELECT rowid, vec_distance_l2(e, vec_f32(?)) FROM t "
+            "WHERE e MATCH ? AND k = 2",
+            [anchor, probe],
+        ).fetchall()
+        assert rows[0][0] == 3  # nearest to 2.1 is row 3 (value 2.0)
+        assert abs(rows[0][1] - 2.0) < 1e-5  # distance to the 0-anchor
+
+    def test_unknown_projection_function_raises(self):
+        db = self.make_db()
+        db.execute("INSERT INTO t(e) VALUES (vec_f32('[1,0,0,0,0,0,0,0]'))")
+        with pytest.raises(Exception, match="unknown function"):
+            db.execute("SELECT vec_bogus(e) FROM t")
+
+    def test_executemany_bulk_insert(self):
+        db = self.make_db()
+        db.executemany(
+            "INSERT INTO t(e, label) VALUES (vec_f32(?), ?)",
+            [[json.dumps([float(i)] + [0.0] * 7), f"L{i}"] for i in range(16)],
+        )
+        assert len(db.table("t")) == 16
+        rows = db.execute(
+            "SELECT rowid FROM t WHERE e MATCH ? AND k = 1",
+            [json.dumps([7.0] + [0.0] * 7)],
+        ).fetchall()
+        assert rows[0][0] == 8
+
     def test_rebuild_sql(self):
         db = self.make_db()
         for i in range(10):

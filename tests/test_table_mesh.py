@@ -80,9 +80,46 @@ def test_mesh_crud_and_search(mesh):
     t.update(rids[1], {"emb": y})
     assert t.knn("emb", y, k=1)[0].rowid == rids[1]
 
-    # fixed capacity: growth raises a clear error
-    with pytest.raises(InvalidState, match="fixed capacity"):
-        next(iter(t.vector_cols.values())).grow(10_000)
+    # capacity growth is supported (test_mesh_capacity_growth covers it)
+
+
+def test_mesh_capacity_growth(mesh):
+    """Over-capacity inserts grow the mesh table in place: per-shard
+    sub-graphs carry over and global slot ids are remapped (round-2
+    verdict weak #7 — growth used to raise)."""
+    rng = np.random.default_rng(3)
+    d = 16
+    cols = [
+        ColumnSpec.vector("emb", d, metric=DistanceMetric.L2, params=PARAMS),
+        ColumnSpec.partition_key("tenant"),
+        ColumnSpec.metadata("tag"),
+    ]
+    # initial_cap 8 * 128-per-shard = 1024 total; insert well past it
+    t = VecTable("g", cols, mesh=mesh, initial_cap=1024)
+    n = 1500
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    rids = t.insert_many(
+        [
+            {"emb": v, "tenant": i % 5, "tag": f"t{i % 3}"}
+            for i, v in enumerate(x)
+        ]
+    )
+    assert len(t) == n
+    assert t.cap >= n
+    assert t.integrity_check() == []
+    # rows inserted BEFORE the growth are still found at their rowids
+    for probe in (0, 100, 700, 1499):
+        res = t.knn("emb", x[probe], k=1)
+        assert res and res[0].rowid == rids[probe]
+        row = t.row(rids[probe])
+        np.testing.assert_allclose(row["emb"].as_f32(), x[probe], rtol=1e-6)
+        assert row["tenant"] == probe % 5
+    # partition filtering survives the remap
+    res = t.knn("emb", x[42], k=3, partition=42 % 5)
+    assert res and res[0].rowid == rids[42]
+    # metadata filter codes were remapped with the slots
+    res = t.knn("emb", x[9], k=3, filters={"tag": f"t{9 % 3}"})
+    assert res and res[0].rowid == rids[9]
 
 
 def test_mesh_single_vector_column_only(mesh):

@@ -43,9 +43,19 @@ from tpuvec.ops.distance import internal_to_output
 from tpuvec.ops.topk import topk_smallest
 from tpuvec.utils.prng import sample_levels, sample_levels_np
 
-__all__ = ["ShardedHnsw", "make_mesh", "save_sharded", "load_sharded"]
+__all__ = [
+    "ShardedHnsw",
+    "ShardFullError",
+    "make_mesh",
+    "save_sharded",
+    "load_sharded",
+]
 
 _INF = jnp.float32(jnp.inf)
+
+
+class ShardFullError(RuntimeError):
+    """A shard's slot capacity is exhausted; grow() or raise cap_per_shard."""
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
@@ -275,12 +285,60 @@ class ShardedHnsw:
             return self._free[s].pop()
         slot = int(self._counts[s])
         if slot >= self.config.cap:
-            raise RuntimeError(
+            raise ShardFullError(
                 f"shard {s} over capacity ({self.config.cap}); "
-                "raise cap_per_shard"
+                "raise cap_per_shard or call grow()"
             )
         self._counts[s] += 1
         return slot
+
+    def grow(self, new_cap_per_shard: int) -> None:
+        """Grow per-shard capacity in place: pad every per-shard array
+        along the slot axis. Sub-graphs carry over untouched (adjacency
+        stores LOCAL slot ids). Global ids change meaning (shard * cap +
+        slot): callers holding old global ids must remap them as
+        ``(g // old_cap) * new_cap + g % old_cap`` (VecTable does).
+        """
+        import dataclasses as _dc
+
+        from tpuvec.index.graph import _ceil_to
+
+        old = self.config
+        new_cap = max(_ceil_to(new_cap_per_shard, 128), 128)
+        if new_cap <= old.cap:
+            return
+        self.config = _dc.replace(
+            self.config,
+            cap=new_cap,
+            cap_u=max(_ceil_to(new_cap // 8, 128), 128),
+        )
+        c = self.config
+        sharding = NamedSharding(self.mesh, P(self.axis))
+
+        def pad1(a, n, fill):
+            ext = jnp.full(
+                (a.shape[0], n - a.shape[1]) + a.shape[2:], fill, dtype=a.dtype
+            )
+            return jax.device_put(jnp.concatenate([a, ext], axis=1), sharding)
+
+        s = self.stacked
+        self.stacked = GraphState(
+            vectors=pad1(s.vectors, c.cap, 0),
+            adj0=pad1(s.adj0, c.cap, -1),
+            adj0_dist=pad1(s.adj0_dist, c.cap, jnp.inf),
+            levels=pad1(s.levels, c.cap, -1),
+            upper_slot=pad1(s.upper_slot, c.cap, -1),
+            upper_nodes=pad1(s.upper_nodes, c.cap_u, -1),
+            upper_adj=pad1(s.upper_adj, c.cap_u, -1),
+            upper_dist=pad1(s.upper_dist, c.cap_u, jnp.inf),
+            entry_point=s.entry_point,
+            entry_level=s.entry_level,
+            count=s.count,
+            upper_count=s.upper_count,
+        )
+        codes = np.full((self.n_shards, c.cap), -1, dtype=np.int32)
+        codes[:, : old.cap] = self._part_codes
+        self._part_codes = codes
 
     def add(
         self,

@@ -86,6 +86,7 @@ _SELECT_RE = re.compile(
 _MATCH_RE = re.compile(r"(?P<col>[\w\"]+)\s+MATCH\s+(?P<val>\?|'[^']*')", re.IGNORECASE)
 _K_RE = re.compile(r"\bk\s*=\s*(?P<val>\?|\d+)", re.IGNORECASE)
 _EF_RE = re.compile(r"\bef\s*=\s*(?P<val>\?|\d+)", re.IGNORECASE)
+_COARSE_RE = re.compile(r"\bcoarse_k\s*=\s*(?P<val>\?|\d+)", re.IGNORECASE)
 _EQ_RE = re.compile(r"(?P<col>[\w\"]+)\s*=\s*(?P<val>\?|'[^']*'|-?\d+(?:\.\d+)?)")
 _REBUILD_RE = re.compile(
     r"^\s*SELECT\s+vec_rebuild_hnsw\s*\((?P<args>.*)\)\s*;?\s*$", re.IGNORECASE
@@ -106,6 +107,7 @@ class Database:
         F.register_all(self.sqlite)
         self.tables: dict[str, VecTable] = {}
         self.mesh = mesh
+        self._autoflush = True  # executemany defers flush to batch end
 
     # -------------------------------------------------------------- #
 
@@ -192,7 +194,22 @@ class Database:
         desc = [d[0] for d in cur.description] if cur.description else []
         return Cursor(cur.fetchall(), desc)
 
-    executemany = None  # use insert loops; kept explicit
+    def executemany(self, sql: str, seq_of_params) -> Cursor:
+        """Execute the same statement for every parameter row (DB-API).
+
+        vec0 inserts defer the device flush to the end of the batch, so a
+        bulk load executes like insert_many (one batched device dispatch
+        per shape) instead of one flush per row."""
+        last = Cursor([], [])
+        self._autoflush = False
+        try:
+            for p in seq_of_params:
+                last = self.execute(sql, p)
+        finally:
+            self._autoflush = True
+            for t in self.tables.values():
+                t.flush()
+        return last
 
     # -------------------------------------------------------------- #
 
@@ -285,7 +302,8 @@ class Database:
                 else:
                     values[c] = v
             table.insert(values, rowid=rowid)
-        table.flush()
+        if self._autoflush:
+            table.flush()
         return Cursor([], [])
 
     def _delete(self, m, params: list) -> Cursor:
@@ -316,15 +334,20 @@ class Database:
         where = m.group("where") or ""
         cols_expr = m.group("cols").strip()
         limit = m.group("limit")
+        # parse projections FIRST so `?` tokens bind in textual order
+        # (SELECT exprs come before WHERE in the statement)
+        projections = self._parse_projections(table, cols_expr, params)
 
         match = _MATCH_RE.search(where)
         if match:
             kq = _K_RE.search(where)
             efq = _EF_RE.search(where)
+            ckq = _COARSE_RE.search(where)
             eq_ms = [
                 em
                 for em in _EQ_RE.finditer(where)
-                if em.group("col").strip('"').lower() not in ("k", "ef")
+                if em.group("col").strip('"').lower()
+                not in ("k", "ef", "coarse_k")
                 and em.group("col").strip('"') != match.group("col").strip('"')
             ]
             # Bind every token at its *textual* position: clause-type order
@@ -335,6 +358,8 @@ class Database:
                 slots.append((kq.start("val"), "k", kq.group("val")))
             if efq:
                 slots.append((efq.start("val"), "ef", efq.group("val")))
+            if ckq:
+                slots.append((ckq.start("val"), "ck", ckq.group("val")))
             for j, em in enumerate(eq_ms):
                 slots.append((em.start("val"), f"eq{j}", em.group("val")))
             bound = {
@@ -344,6 +369,7 @@ class Database:
             qval = bound["q"]
             k = int(bound["k"]) if kq else 10
             ef = int(bound["ef"]) if efq else None
+            coarse_k = int(bound["ck"]) if ckq else None
             # extra equality filters (partition / metadata)
             partition = None
             predicate_eqs = {}
@@ -363,11 +389,12 @@ class Database:
                 ef=ef,
                 partition=partition,
                 filters=predicate_eqs or None,
+                coarse_k=coarse_k,
             )
             if limit:
                 n = int(self._take_param(limit, params))
                 results = results[:n]
-            return self._project(table, cols_expr, [(r.rowid, r.distance) for r in results])
+            return self._project(table, projections, [(r.rowid, r.distance) for r in results])
 
         # rowid lookup or full scan
         rid_m = re.search(r"rowid\s*=\s*(\?|\d+)", where, re.IGNORECASE)
@@ -379,33 +406,99 @@ class Database:
             rows = [(rid, None) for rid in sorted(table._rowid_to_slot)]
             if limit:
                 rows = rows[: int(self._take_param(limit, params))]
-        return self._project(table, cols_expr, rows)
+        return self._project(table, projections, rows)
 
-    def _project(self, table: VecTable, cols_expr: str, rows) -> Cursor:
-        names: list[str]
+    # -- projections: raw columns plus vec_*(...) expressions ---------- #
+    # (the slice of SQL composability the reference gets from SQLite's
+    # expression evaluator over vtab columns, src/vtab.rs:2341-2482)
+
+    def _parse_projections(self, table: VecTable, cols_expr: str, params: list):
+        """Parse a SELECT column list into [(label, node)] — consumes any
+        `?` bind parameters the expressions contain (textual order)."""
         if cols_expr.strip() == "*":
             names = ["rowid"] + [c.name for c in table.columns]
-        else:
-            names = [c.strip().strip('"') for c in self._split_exprs(cols_expr)]
+            return [(n, ("col", n)) for n in names]
+        out = []
+        for raw in self._split_exprs(cols_expr):
+            alias = None
+            am = re.match(
+                r"^(?P<e>.+?)\s+AS\s+(?P<alias>[\w\"]+)\s*$",
+                raw,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if am:
+                raw, alias = am.group("e").strip(), am.group("alias").strip('"')
+            out.append((alias or raw, self._parse_expr_node(raw, params)))
+        return out
+
+    def _parse_expr_node(self, expr: str, params: list):
+        """expr -> ("lit", v) | ("col", name) | ("call", fn, [nodes])."""
+        expr = expr.strip()
+        call = re.match(r"^(vec_\w+)\s*\((.*)\)$", expr, re.IGNORECASE | re.DOTALL)
+        if call:
+            fname = call.group(1).lower()
+            fn = getattr(F, fname, None) if fname in F.__all__ else None
+            if fn is None:
+                raise InvalidParameter(f"unknown function {call.group(1)}")
+            inner = call.group(2).strip()
+            args = (
+                [self._parse_expr_node(a, params) for a in self._split_exprs(inner)]
+                if inner
+                else []
+            )
+            return ("call", fn, args)
+        if expr == "?":
+            return ("lit", self._take_param("?", params))
+        if expr.upper() == "NULL":
+            return ("lit", None)
+        if expr.startswith("x'"):
+            return ("lit", bytes.fromhex(expr[2:-1]))
+        if expr.startswith("'"):
+            return ("lit", expr[1:-1])
+        try:
+            return ("lit", int(expr))
+        except ValueError:
+            pass
+        try:
+            return ("lit", float(expr))
+        except ValueError:
+            pass
+        return ("col", expr.strip('"'))
+
+    def _eval_node(self, node, rid, dist, stored, *, as_arg: bool = False):
+        kind = node[0]
+        if kind == "lit":
+            return node[1]
+        if kind == "col":
+            n = node[1]
+            ln = n.lower()
+            if ln == "rowid":
+                return rid
+            if ln == "distance":
+                return dist
+            v = stored.get(n)
+            if isinstance(v, Vector):
+                # direct projection reads back as JSON text, like column()
+                # (src/vtab.rs:2341-2482); as a vec_* argument it passes
+                # the canonical blob the scalar functions accept
+                return v.as_bytes() if as_arg else v.to_json()
+            return v
+        _, fn, args = node
+        return fn(
+            *[self._eval_node(a, rid, dist, stored, as_arg=True) for a in args]
+        )
+
+    def _project(self, table: VecTable, projections, rows) -> Cursor:
         out = []
         for rid, dist in rows:
             stored = table.row(rid)
-            rec = []
-            for n in names:
-                ln = n.lower()
-                if ln == "rowid":
-                    rec.append(rid)
-                elif ln == "distance":
-                    rec.append(dist)
-                elif n in stored:
-                    v = stored[n]
-                    # vectors read back as JSON text, like column()
-                    # (src/vtab.rs:2341-2482)
-                    rec.append(v.to_json() if isinstance(v, Vector) else v)
-                else:
-                    rec.append(None)
-            out.append(tuple(rec))
-        return Cursor(out, names)
+            out.append(
+                tuple(
+                    self._eval_node(node, rid, dist, stored)
+                    for _, node in projections
+                )
+            )
+        return Cursor(out, [label for label, _ in projections])
 
     def _rebuild(self, args: str, params: list) -> Cursor:
         """SELECT vec_rebuild_hnsw('t', 'col'[, M, ef_construction])."""

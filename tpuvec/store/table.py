@@ -327,11 +327,22 @@ class _MeshVectorColumn:
     def slots_cap(self) -> int:
         return self.idx.n_shards * self.config.cap
 
-    def grow(self, new_cap: int) -> None:
-        raise InvalidState(
-            "mesh-backed tables have fixed capacity (set capacity=N in the "
-            f"DDL / initial_cap; current {self.slots_cap})"
+    def grow(self, new_total_cap: int) -> None:
+        """Grow per-shard capacity in place (sub-graphs carry over). The
+        caller (VecTable._grow_mesh) must remap global slot ids:
+        old (s, sl) -> s * new_cap + sl."""
+        old_cap = self.config.cap
+        self.idx.grow(-(-new_total_cap // self.idx.n_shards))
+        self.config = self.idx.config
+        new_cap = self.config.cap
+        if new_cap == old_cap:
+            return
+        s_n, w = self.idx.n_shards, self.raw.shape[1]
+        raw = np.zeros((s_n * new_cap, w), dtype=self.raw.dtype)
+        raw.reshape(s_n, new_cap, w)[:, :old_cap] = self.raw.reshape(
+            s_n, old_cap, w
         )
+        self.raw = raw
 
     # --- allocation (delegated to the sharded index) ------------------- #
 
@@ -421,6 +432,8 @@ class VecTable:
         index_type: IndexType = IndexType.HNSW,
         initial_cap: int = 1024,
         mesh=None,
+        autosave_path: str | None = None,
+        autosave_every: int = 16,
     ):
         if not any(c.kind == "vector" for c in columns):
             raise InvalidParameter("vec0 table requires at least one vector column")
@@ -465,6 +478,15 @@ class VecTable:
         self._max_rowid = 0
         self._pending: list[tuple[int, int, dict[str, Vector]]] = []
         self._lock = threading.RLock()
+        # opt-in durability: write-behind atomic snapshot every N flushes
+        # (the reference persists every committed insert via SQLite shadow
+        # tables, src/shadow.rs:192-257; here HBM is authoritative and the
+        # snapshot is the crash-consistency tier — a kill -9 loses at most
+        # the rows since the last completed autosave)
+        self.autosave_path = autosave_path
+        self.autosave_every = max(1, int(autosave_every))
+        self._flushes_since_save = 0
+        self._autosave_thread: threading.Thread | None = None
 
     # ------------------------------------------------------------------ #
     # helpers
@@ -505,8 +527,14 @@ class VecTable:
 
     def _alloc_slot(self, part_value=None) -> int:
         if self.mesh is not None:
+            from tpuvec.parallel.sharding import ShardFullError
+
             vc = next(iter(self.vector_cols.values()))
-            slot = vc.alloc_slot(part_value, self._rr)
+            try:
+                slot = vc.alloc_slot(part_value, self._rr)
+            except ShardFullError:
+                self._grow_mesh()
+                slot = vc.alloc_slot(part_value, self._rr)
             if part_value is None:
                 self._rr += 1
             return slot
@@ -515,6 +543,43 @@ class VecTable:
         s = self._next_slot
         self._next_slot += 1
         return s
+
+    def _grow_mesh(self) -> None:
+        """Double a mesh-backed table's capacity in place. Per-shard
+        sub-graphs carry over (adjacency is local-slot-indexed); global
+        slot ids change meaning (shard * cap + slot), so every host-side
+        slot reference is remapped here."""
+        vc = next(iter(self.vector_cols.values()))
+        s_n = vc.idx.n_shards
+        old_cap = vc.config.cap
+        vc.grow(self.cap * 2)
+        new_cap = vc.config.cap
+        if new_cap == old_cap:
+            raise InvalidState("mesh capacity growth failed to enlarge")
+
+        def remap(g: int) -> int:
+            s, sl = divmod(int(g), old_cap)
+            return s * new_cap + sl
+
+        self._rowid_to_slot = {
+            r: remap(g) for r, g in self._rowid_to_slot.items()
+        }
+        self._slot_to_rowid = {v: k for k, v in self._rowid_to_slot.items()}
+        self._free_slots = [remap(g) for g in self._free_slots]
+        self._pending = [
+            (rid, remap(slot), vecs) for rid, slot, vecs in self._pending
+        ]
+        live = np.zeros(s_n * new_cap, dtype=bool)
+        live.reshape(s_n, new_cap)[:, :old_cap] = self._live[
+            : s_n * old_cap
+        ].reshape(s_n, old_cap)
+        self._live = live
+        for sc in self._scalars.values():
+            codes = np.full(s_n * new_cap, -1, dtype=np.int32)
+            codes.reshape(s_n, new_cap)[:, :old_cap] = sc.codes[
+                : s_n * old_cap
+            ].reshape(s_n, old_cap)
+            sc.codes = codes
 
     def _grow_host(self, needed: int) -> None:
         """Grow host-side slot arrays (live mask, scalar columns)."""
@@ -647,6 +712,38 @@ class VecTable:
                     )
                     pos += take
                     size += take
+            if self.autosave_path is not None:
+                self._flushes_since_save += 1
+                if self._flushes_since_save >= self.autosave_every:
+                    self._maybe_autosave()
+
+    def _maybe_autosave(self) -> None:
+        """Write-behind snapshot: a daemon thread takes the table lock and
+        writes the atomic snapshot (tmp + rename, so a crash mid-save keeps
+        the previous one). If a save is already in flight this trigger
+        folds into the next — loss bound stays ~N flushes + one save."""
+        t = self._autosave_thread
+        if t is not None and t.is_alive():
+            return
+        self._flushes_since_save = 0
+
+        def run():
+            from tpuvec.store import snapshot
+
+            with self._lock:
+                snapshot.save(self, self.autosave_path)
+
+        t = threading.Thread(
+            target=run, daemon=True, name=f"tpuvec-autosave-{self.name}"
+        )
+        self._autosave_thread = t
+        t.start()
+
+    def wait_autosave(self) -> None:
+        """Block until any in-flight autosave completes (tests/shutdown)."""
+        t = self._autosave_thread
+        if t is not None:
+            t.join()
 
     def _prepare_batch(self, vc: _VectorColumn, pend) -> np.ndarray:
         c = vc.config
@@ -796,6 +893,7 @@ class VecTable:
         predicate=None,
         filters: Mapping[str, Any] | None = None,
         exact: bool | None = None,
+        coarse_k: int | None = None,
     ) -> list[QueryResult]:
         """k nearest neighbors on a vector column.
 
@@ -815,6 +913,7 @@ class VecTable:
             predicate=predicate,
             filters=filters,
             exact=exact,
+            coarse_k=coarse_k,
         )[0]
 
     def knn_many(
@@ -828,6 +927,7 @@ class VecTable:
         predicate=None,
         filters: Mapping[str, Any] | None = None,
         exact: bool | None = None,
+        coarse_k: int | None = None,
     ) -> list[list[QueryResult]]:
         """Batched k-NN: B queries in one device dispatch.
 
@@ -856,7 +956,9 @@ class VecTable:
                 vc.spec.quantization is IndexQuantization.BINARY
                 and vc.spec.vec_type is VectorType.FLOAT32
             ):
-                d, i = self._binary_rerank(vc, qvs, qp, k, mask, use_exact)
+                d, i = self._binary_rerank(
+                    vc, qvs, qp, k, mask, use_exact, coarse_k
+                )
             elif use_exact or mask is not None and not vc.has_hnsw:
                 d, i = self._exact(vc, qp, k, mask)
             elif mask is not None:
@@ -947,7 +1049,9 @@ class VecTable:
         out = internal_to_output(c.metric, d, normalized=c.normalized)
         return jnp.where(jnp.isfinite(d), out, jnp.inf), i
 
-    def _binary_rerank(self, vc: _VectorColumn, qvs, qp, k, mask, use_exact):
+    def _binary_rerank(
+        self, vc: _VectorColumn, qvs, qp, k, mask, use_exact, coarse_k=None
+    ):
         """Binary Hamming coarse search + exact f32 rerank, batched.
 
         The composition the reference has all the pieces for (bit vectors +
@@ -956,7 +1060,10 @@ class VecTable:
         search over-fetches `coarse_k` candidates; stored f32 originals
         rerank them in the user metric — all B queries at once.
         """
-        coarse_k = max(8 * k, 64)
+        # rerank budget: wider coarse_k trades QPS for recall through the
+        # Hamming quantization ceiling; callers tune it per query (the
+        # round-2 1M x 1024 sweep measured 0.937@C=192 vs 0.683@C=48)
+        coarse_k = int(coarse_k) if coarse_k else max(8 * k, 64)
         if (
             use_exact
             or not vc.has_hnsw
