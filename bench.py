@@ -18,6 +18,15 @@ Environment knobs:
   TPUVEC_BENCH_D       dimensions (default 768)
   TPUVEC_BENCH_Q       query batch (default 256)
   TPUVEC_BENCH_FRESH   set to 1 to ignore an existing checkpoint
+  TPUVEC_BENCH_BUDGET  wall-clock budget in seconds (default 900). The
+                       bench ALWAYS emits a JSON line within the budget:
+                       a completed checkpoint -> sweep-only fast path;
+                       otherwise the build runs only if it fits, else the
+                       run downgrades to the largest tier that does
+                       (262K/100K/25K), so the driver never times out
+                       with nothing to show (round-2 BENCH rc=124).
+The full BASELINE config table (configs 1-5) is a separate command:
+``python scripts/bench_suite.py`` -> BENCH_CONFIGS.md.
 
 Side info (build rate, sweep table) goes to stderr; stdout carries
 exactly the one JSON line.
@@ -39,7 +48,13 @@ QN = int(os.environ.get("TPUVEC_BENCH_Q", 256))
 K = 10
 REPS = 5
 BASELINE_QPS = 357.0
-SEGMENT = 131_072          # checkpoint every ~2.5 min of build
+# checkpoint granularity + fit-estimate knobs (env-overridable so the
+# partial-build path is testable at CPU scale)
+SEGMENT = int(os.environ.get("TPUVEC_BENCH_SEGMENT", 131_072))
+BUDGET = float(os.environ.get("TPUVEC_BENCH_BUDGET", 900))
+RATE = float(os.environ.get("TPUVEC_BENCH_RATE", 900))  # e2e build vec/s
+COLD_START = 300.0         # first-segment compile overhead estimate
+SWEEP_RESERVE = 420.0      # ground truth + ef sweep, warm caches
 CKPT = f"/tmp/tpuvec_bench_{N}x{D}.npz"
 SIDECAR = CKPT + ".json"
 # graph fields persisted in the checkpoint; `vectors` is reconstructed
@@ -58,6 +73,8 @@ def log(*a):
 def _jax_setup():
     import jax
 
+    if os.environ.get("TPUVEC_BENCH_CPU") == "1":  # smoke-testing only
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/tpuvec_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from tpuvec.utils.safecache import enable_atomic_cache_writes
@@ -163,37 +180,86 @@ def build_worker() -> int:
     return 0
 
 
-def run_build() -> float:
-    """Drive the worker with retries; returns total build seconds."""
+_ckpt_layout_ok: dict[str, bool] = {}
+
+
+def _ckpt_pos() -> int:
+    """Completed position recorded in the current tier's sidecar (0 if
+    the checkpoint is unreadable or from an older graph layout — must
+    agree with _restore_state or a tier gets selected on a checkpoint
+    that then fails to load)."""
+    if not (os.path.exists(CKPT) and os.path.exists(SIDECAR)):
+        return 0
+    try:
+        with open(SIDECAR) as f:
+            pos = int(json.load(f)["pos"])
+        if CKPT not in _ckpt_layout_ok:
+            with np.load(CKPT) as z:
+                _ckpt_layout_ok[CKPT] = z["upper_adj"].ndim == 2
+        return pos if _ckpt_layout_ok[CKPT] else 0
+    except Exception:
+        return 0
+
+
+def _set_tier(n: int) -> None:
+    """Point the module (and the worker subprocess env) at corpus size n."""
+    global N, CKPT, SIDECAR
+    N = n
+    os.environ["TPUVEC_BENCH_N"] = str(n)
+    CKPT = f"/tmp/tpuvec_bench_{N}x{D}.npz"
+    SIDECAR = CKPT + ".json"
+
+
+def run_build(stop_at: float, force: bool = False) -> float | None:
+    """Drive the worker with retries until ``stop_at``; returns total
+    build seconds, or None if the build can't finish in time.
+    ``force`` skips the fit estimate and builds as far as the clock
+    allows (partial checkpoints are sweepable)."""
     if os.environ.get("TPUVEC_BENCH_FRESH") == "1":
         for p in (CKPT, SIDECAR):
             if os.path.exists(p):
                 os.remove(p)
         os.environ.pop("TPUVEC_BENCH_FRESH")
-    attempt_timeout = max(1200, int(N / 600) + 900)
+    if _ckpt_pos() >= N:
+        with open(SIDECAR) as f:
+            return float(json.load(f)["secs"])
     last_pos = -1
     for attempt in range(5):
+        left = stop_at - time.time()
+        pos0 = _ckpt_pos()
+        # don't launch an attempt that can't finish: resuming later is
+        # cheaper than a wasted partial segment
+        if not force and (
+            (N - pos0) / RATE + (COLD_START if pos0 == 0 else 60) > left
+        ):
+            log(
+                f"build attempt skipped: {N - pos0} rows left won't fit "
+                f"{left:.0f}s"
+            )
+            return None
+        if force and left < 60:
+            return None
         try:
             rc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--build-worker"],
-                timeout=attempt_timeout,
+                timeout=max(left, 60),
             ).returncode
         except subprocess.TimeoutExpired:
             rc = -1
-            log(f"build attempt {attempt} timed out ({attempt_timeout}s)")
-        pos = -1
-        if os.path.exists(SIDECAR):
+            log(f"build attempt {attempt} hit the budget deadline")
+        pos = _ckpt_pos()
+        if pos >= N:
             with open(SIDECAR) as f:
-                side = json.load(f)
-            pos = int(side["pos"])
-            if pos >= N:
-                return float(side["secs"])
+                return float(json.load(f)["secs"])
         if rc != 0 and pos <= last_pos:
-            # no forward progress: give the device time to recover
+            # no forward progress: give the device time to recover, if
+            # the budget allows it
+            if stop_at - time.time() < 360:
+                return None
             log("no progress; waiting 300s for device recovery")
             time.sleep(300)
         last_pos = pos
-    raise RuntimeError("build did not complete after 5 attempts")
+    return None
 
 
 def main() -> None:
@@ -201,7 +267,8 @@ def main() -> None:
         sys.exit(build_worker())
 
     t_all = time.time()
-    build_s = run_build()
+    deadline = t_all + BUDGET
+    build_s = run_build(deadline - SWEEP_RESERVE)
 
     jax = _jax_setup()
     import jax.numpy as jnp
@@ -213,15 +280,42 @@ def main() -> None:
 
     cfg = _config()
     log(f"backend={jax.default_backend()} corpus {N}x{D} f32 cosine k={K}")
-    log(f"build: {N} vectors in {build_s:.1f}s = {N / build_s:.0f} vec/s")
     x, qpool = _dataset()
     xp_dev = prepare_vectors_device(cfg, x)
-    state, pos, _ = _restore_state(cfg, xp_dev, jnp)
-    assert state is not None and pos == N, "checkpoint must be complete here"
+    state, pos, ck_secs = _restore_state(cfg, xp_dev, jnp)
+    if state is None or pos == 0:
+        # nothing built at the target tier and no budget to build it:
+        # downgrade to the largest tier that fits (or already has a
+        # completed checkpoint from a prior run)
+        del xp_dev, state
+        picked = False
+        for n in (100_000, 20_000):
+            _set_tier(n)
+            fits = n / RATE + COLD_START + 120 < (
+                deadline - SWEEP_RESERVE - time.time()
+            )
+            if _ckpt_pos() >= n or fits:
+                picked = True
+                break
+        log(f"downgraded to the {N}-row tier to fit the budget")
+        # if even the smallest tier doesn't fit the estimate, build it
+        # best-effort anyway: a partial prefix is sweepable, a crash isn't
+        build_s = run_build(deadline - SWEEP_RESERVE, force=not picked)
+        cfg = _config()
+        x, qpool = _dataset()
+        xp_dev = prepare_vectors_device(cfg, x)
+        state, pos, ck_secs = _restore_state(cfg, xp_dev, jnp)
+        if state is None or pos == 0:
+            raise RuntimeError("no bench tier fits the budget")
+    if build_s is None:
+        build_s = ck_secs  # partial build: report the rate achieved so far
+    live = pos  # rows actually in the graph (may be a prefix of N)
+    log(f"build: {live} vectors in {build_s:.1f}s = {live / build_s:.0f} vec/s")
 
     qp = prepare_vectors(cfg, jnp.asarray(qpool[:QN]))
+    live_mask = jnp.asarray(np.arange(N) < live)
     gt_d, gt_i = bruteforce_knn(
-        qp, xp_dev, jnp.ones(N, bool), metric=cfg.graph_metric, k=K,
+        qp, xp_dev, live_mask, metric=cfg.graph_metric, k=K,
         normalized=cfg.normalized,
     )
     gt = np.asarray(gt_i)
@@ -245,12 +339,17 @@ def main() -> None:
     fallback = None
     # (ef, max_iters): a capped iteration budget trades the last ~0.003
     # recall for 20-25% QPS (measured at 1M: ef=48 default-iters 0.983 @
-    # 12.9K vs iters=56 0.977 @ 16.5K); None = default_max_iters
+    # 12.9K vs iters=56 0.977 @ 16.5K); None = default_max_iters.
+    # (48, None) runs FIRST: it is the known recall>=0.95 point at 1M, so
+    # even a deadline-truncated sweep reports a qualifying number.
     sweep = [
-        (24, None), (32, None), (48, 44), (48, 56), (48, None),
+        (48, None), (24, None), (32, None), (48, 44), (48, 56),
         (64, 64), (96, None), (128, None), (192, None), (256, None),
     ]
     for ef, mi in sweep:
+        if best is not None and time.time() > deadline - 45:
+            log("sweep truncated by the budget deadline")
+            break
         d_h, i_h = search_graph(cfg, state, qp, k=K, ef=ef, max_iters=mi)
         i_h.block_until_ready()  # compile
         t0 = time.time()
@@ -283,8 +382,8 @@ def main() -> None:
         json.dumps(
             {
                 "metric": (
-                    f"QPS/chip at recall@10>={r:.3f} ({N}x{D} f32 cosine, "
-                    f"ef={ef}); build {N / build_s:.0f} vec/s"
+                    f"QPS/chip at recall@10>={r:.3f} ({live}x{D} f32 cosine, "
+                    f"ef={ef}); build {live / build_s:.0f} vec/s"
                 ),
                 "value": round(qps, 1),
                 "unit": "QPS",

