@@ -114,6 +114,139 @@ def test_shadow_survives_growth_and_snapshot(tmp_path):
     ]
 
 
+def test_expand_rerank_matches_oracle():
+    """expand_rerank_topk == numpy top-k over the union of the coarse
+    candidates and their level-0 neighbors (dedup included)."""
+    import jax.numpy as jnp
+
+    from tpuvec.ops.rerank import expand_rerank_topk
+
+    rng = np.random.default_rng(9)
+    n, d, m0, b, c, k = 120, 32, 8, 4, 6, 5
+    shadow = rng.normal(size=(n, d)).astype(np.float32)
+    # adjacency with shared neighbors (forces duplicates in the expansion)
+    adj = rng.integers(0, n, size=(n, m0)).astype(np.int32)
+    adj[::3, 0] = -1  # some invalid edges
+    slots = rng.integers(0, n, size=(b, c)).astype(np.int32)
+    slots[:, -1] = slots[:, 0]  # duplicated coarse candidate
+    ok = np.ones((b, c), bool)
+    ok[0, 1] = False
+    q = rng.normal(size=(b, d)).astype(np.float32)
+
+    dd, ii = expand_rerank_topk(
+        jnp.asarray(shadow), jnp.asarray(adj), jnp.asarray(slots),
+        jnp.asarray(ok), jnp.asarray(q),
+        metric=DistanceMetric.L2, k=k,
+    )
+    dd, ii = np.asarray(dd), np.asarray(ii)
+    for bi in range(b):
+        cands = set()
+        for j in range(c):
+            if not ok[bi, j]:
+                continue
+            s = int(slots[bi, j])
+            cands.add(s)
+            cands.update(int(t) for t in adj[s] if t >= 0)
+        cl = sorted(cands)
+        dists = np.linalg.norm(shadow[cl] - q[bi], axis=1)
+        order = np.argsort(dists, kind="stable")[:k]
+        want_ids = [cl[o] for o in order]
+        want_d = [dists[o] for o in order]
+        assert ii[bi].tolist() == want_ids, (bi, ii[bi], want_ids)
+        np.testing.assert_allclose(dd[bi], want_d, rtol=1e-5, atol=1e-5)
+        assert len(set(ii[bi].tolist())) == k  # no duplicate ids
+
+
+def test_expand_rerank_filter_mask_oracle():
+    """filter_mask gates coarse candidates AND expanded neighbors."""
+    import jax.numpy as jnp
+
+    from tpuvec.ops.rerank import expand_rerank_topk
+
+    rng = np.random.default_rng(11)
+    n, d, m0, b, c, k = 96, 16, 6, 3, 5, 4
+    shadow = rng.normal(size=(n, d)).astype(np.float32)
+    adj = rng.integers(0, n, size=(n, m0)).astype(np.int32)
+    slots = rng.integers(0, n, size=(b, c)).astype(np.int32)
+    ok = np.ones((b, c), bool)
+    fm = rng.random(n) < 0.5  # half the corpus filtered out
+    fm[slots[0, 0]] = True  # keep at least one candidate per query
+    q = rng.normal(size=(b, d)).astype(np.float32)
+
+    dd, ii = expand_rerank_topk(
+        jnp.asarray(shadow), jnp.asarray(adj), jnp.asarray(slots),
+        jnp.asarray(ok), jnp.asarray(q),
+        metric=DistanceMetric.L2, k=k, filter_mask=jnp.asarray(fm),
+    )
+    dd, ii = np.asarray(dd), np.asarray(ii)
+    for bi in range(b):
+        cands = set()
+        for j in range(c):
+            s = int(slots[bi, j])
+            if fm[s]:
+                cands.add(s)
+            cands.update(int(t) for t in adj[s] if t >= 0 and fm[t])
+        cl = sorted(cands)
+        dists = np.linalg.norm(shadow[cl] - q[bi], axis=1)
+        order = np.argsort(dists, kind="stable")[: k]
+        want = [cl[o] for o in order]
+        got = [s for s in ii[bi].tolist() if s >= 0]
+        assert got == want[: len(got)] and len(got) == min(k, len(cl))
+        assert all(fm[s] for s in got)
+
+
+def test_table_expand_rerank_default_and_filters():
+    """Table-level: neighbor expansion is the default binary+graph path,
+    beats (or ties) the plain rerank at the same coarse_k, and never
+    returns filtered-out or deleted rows through the expansion."""
+    x = synthetic_embeddings(500, 64, intrinsic_dim=16, n_clusters=24, seed=7)
+    t = VecTable(
+        "binx",
+        [
+            ColumnSpec.vector(
+                "emb", 64, metric=DistanceMetric.COSINE, params=PARAMS,
+                quantization=IndexQuantization.BINARY,
+            ),
+            ColumnSpec.metadata("grp"),
+        ],
+        initial_cap=1024,
+    )
+    for i, v in enumerate(x):
+        t.insert({"emb": v, "grp": i % 2})
+
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    def recall_at(expand, ck=16):
+        hits = total = 0
+        for probe in range(0, 100, 9):
+            qd = 1 - xn @ xn[probe]
+            want = set((np.argsort(qd, kind="stable")[:5] + 1).tolist())
+            got = {
+                r.rowid
+                for r in t.knn("emb", x[probe], k=5, coarse_k=ck, expand=expand)
+            }
+            hits += len(want & got)
+            total += len(want)
+        return hits / total
+
+    r_plain, r_exp = recall_at(False), recall_at(True)
+    assert r_exp >= r_plain, (r_exp, r_plain)
+    assert r_exp >= 0.9, r_exp
+
+    # filters hold through the expansion
+    res = t.knn("emb", x[3], k=6, filters={"grp": 1})
+    assert res
+    for r in res:
+        assert t.row(r.rowid)["grp"] == 1
+
+    # deleted rows never resurface via stale adjacency
+    victims = {r.rowid for r in t.knn("emb", x[10], k=3)}
+    for rid in victims:
+        t.delete(rid)
+    got = {r.rowid for r in t.knn("emb", x[10], k=8)}
+    assert not (got & victims)
+
+
 def test_rerank_with_filter():
     x = synthetic_embeddings(200, 64, intrinsic_dim=16, n_clusters=16, seed=3)
     t = VecTable(

@@ -163,6 +163,68 @@ class TestDatabase:
         r2 = db.execute("SELECT e FROM t WHERE rowid = 2").fetchone()
         assert json.loads(r1[0]) == json.loads(r2[0]) == v
 
+    def test_match_blob_and_json_equivalent_all_types(self):
+        """MATCH accepts the query vector as raw blob, vec_* blob, or JSON
+        text, and all three return identical (rowid, distance) — across
+        f32 / int8 / bit column types (reference integration_test.rs:
+        1032-1131 sweeps the same surface for f32)."""
+        db = connect()
+        db.execute(
+            "CREATE VIRTUAL TABLE tf USING vec0(e float[8] "
+            "hnsw(M=4, ef_construction=32, distance=l2))"
+        )
+        db.execute(
+            "CREATE VIRTUAL TABLE ti USING vec0(e int8[8] "
+            "hnsw(M=4, ef_construction=32, distance=l2))"
+        )
+        db.execute(
+            "CREATE VIRTUAL TABLE tb USING vec0(e bit[32] "
+            "hnsw(M=4, ef_construction=32, distance=hamming))"
+        )
+        rng = np.random.default_rng(3)
+        for i in range(16):
+            f = [float(i + j) for j in range(8)]
+            q8 = [int(v) for v in rng.integers(-100, 100, 8)]
+            bits = [int(b) for b in rng.integers(0, 2, 32)]
+            db.execute(
+                "INSERT INTO tf(rowid, e) VALUES (?, vec_f32(?))",
+                [i + 1, json.dumps(f)],
+            )
+            db.execute(
+                "INSERT INTO ti(rowid, e) VALUES (?, vec_int8(?))",
+                [i + 1, json.dumps(q8)],
+            )
+            db.execute(
+                "INSERT INTO tb(rowid, e) VALUES (?, vec_bit(?))",
+                [i + 1, json.dumps(bits)],
+            )
+
+        def knn(table, qparam):
+            return db.execute(
+                f"SELECT rowid, distance FROM {table} "
+                "WHERE e MATCH ? AND k = 4 ORDER BY distance",
+                [qparam],
+            ).fetchall()
+
+        # f32: JSON text vs raw LE blob
+        qf = [5.1, 6.0, 7.2, 8.0, 9.0, 10.0, 11.0, 12.0]
+        a = knn("tf", json.dumps(qf))
+        b = knn("tf", np.asarray(qf, dtype="<f4").tobytes())
+        assert [r[0] for r in a] == [r[0] for r in b] and a[0][0] == 6
+        np.testing.assert_allclose(
+            [r[1] for r in a], [r[1] for r in b], rtol=1e-6
+        )
+        # int8: JSON vs int8 blob
+        qi = [int(v) for v in rng.integers(-100, 100, 8)]
+        a = knn("ti", json.dumps(qi))
+        b = knn("ti", np.asarray(qi, dtype=np.int8).tobytes())
+        assert [(r[0], r[1]) for r in a] == [(r[0], r[1]) for r in b]
+        # bit: JSON 0/1 list vs packed blob
+        qb = [int(v) for v in rng.integers(0, 2, 32)]
+        a = knn("tb", json.dumps(qb))
+        b = knn("tb", np.packbits(qb, bitorder="little").tobytes())
+        assert [(r[0], r[1]) for r in a] == [(r[0], r[1]) for r in b]
+
     def test_select_star_and_rowid(self):
         db = self.make_db()
         db.execute(

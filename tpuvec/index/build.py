@@ -238,7 +238,7 @@ def _stage_candidates(config: HnswConfig, state: GraphState, new_vecs: jnp.ndarr
         seed_ids,
         seed_d,
         ef=efc,
-        max_iters=default_max_iters(efc, 2),
+        max_iters=c.build_max_iters or default_max_iters(efc, 2),
         n_expand=2,  # measured sweet spot: E=1 -> 551 vec/s, E=2 -> 643, E=4 -> 492
     )
     return cand_d, cand_i

@@ -70,6 +70,7 @@ class HnswConfig:
     rng_seed: int
     level_factor: float
     simple_prune: bool = False    # False = RNG diversity heuristic (params.py)
+    build_max_iters: int | None = None  # construction-beam iteration cap
 
     @property
     def store_dtype(self):
@@ -145,6 +146,7 @@ def config_for(
         rng_seed=params.rng_seed,
         level_factor=params.level_factor,
         simple_prune=params.simple_prune,
+        build_max_iters=params.build_max_iters,
     )
 
 

@@ -894,6 +894,7 @@ class VecTable:
         filters: Mapping[str, Any] | None = None,
         exact: bool | None = None,
         coarse_k: int | None = None,
+        expand: bool | None = None,
     ) -> list[QueryResult]:
         """k nearest neighbors on a vector column.
 
@@ -914,6 +915,7 @@ class VecTable:
             filters=filters,
             exact=exact,
             coarse_k=coarse_k,
+            expand=expand,
         )[0]
 
     def knn_many(
@@ -928,6 +930,7 @@ class VecTable:
         filters: Mapping[str, Any] | None = None,
         exact: bool | None = None,
         coarse_k: int | None = None,
+        expand: bool | None = None,
     ) -> list[list[QueryResult]]:
         """Batched k-NN: B queries in one device dispatch.
 
@@ -957,7 +960,7 @@ class VecTable:
                 and vc.spec.vec_type is VectorType.FLOAT32
             ):
                 d, i = self._binary_rerank(
-                    vc, qvs, qp, k, mask, use_exact, coarse_k
+                    vc, qvs, qp, k, mask, use_exact, coarse_k, expand
                 )
             elif use_exact or mask is not None and not vc.has_hnsw:
                 d, i = self._exact(vc, qp, k, mask)
@@ -1050,7 +1053,8 @@ class VecTable:
         return jnp.where(jnp.isfinite(d), out, jnp.inf), i
 
     def _binary_rerank(
-        self, vc: _VectorColumn, qvs, qp, k, mask, use_exact, coarse_k=None
+        self, vc: _VectorColumn, qvs, qp, k, mask, use_exact, coarse_k=None,
+        expand=None,
     ):
         """Binary Hamming coarse search + exact f32 rerank, batched.
 
@@ -1059,23 +1063,29 @@ class VecTable:
         step 7): the index stores mean-threshold sign bits; a Hamming
         search over-fetches `coarse_k` candidates; stored f32 originals
         rerank them in the user metric — all B queries at once.
+
+        ``expand`` adds the candidates' level-0 graph neighbors to the
+        rerank pool (ops/rerank.py expand_rerank_topk) — the default when
+        the graph + device shadow are available, because Hamming ranking
+        hits a recall ceiling the one-hop expansion recovers cheaply.
         """
         # rerank budget: wider coarse_k trades QPS for recall through the
         # Hamming quantization ceiling; callers tune it per query (the
         # round-2 1M x 1024 sweep measured 0.937@C=192 vs 0.683@C=48)
         coarse_k = int(coarse_k) if coarse_k else max(8 * k, 64)
-        if (
+        graph_used = not (
             use_exact
             or not vc.has_hnsw
             or (mask is not None and int(mask.sum()) <= 8 * coarse_k)
-        ):
-            d, i = self._exact(vc, qp, coarse_k, mask)
-        else:
+        )
+        if graph_used:
             d, i = self._hnsw(vc, qp, coarse_k, None, mask)
+        else:
+            d, i = self._exact(vc, qp, coarse_k, mask)
         nq = len(qvs)
         if getattr(vc, "shadow", None) is not None:
             # device path: candidates never leave HBM (ops/rerank.py)
-            from tpuvec.ops.rerank import rerank_topk
+            from tpuvec.ops.rerank import expand_rerank_topk, rerank_topk
 
             ok_dev = i >= 0
             if mask is not None:
@@ -1087,9 +1097,25 @@ class VecTable:
             qf_dev = qf_dev.at[:nq].set(
                 np.stack([qv.as_f32().astype(np.float32) for qv in qvs])
             )
-            out_d, out_i = rerank_topk(
-                vc.shadow, i, ok_dev, qf_dev, metric=vc.spec.metric, k=k
+            do_expand = (
+                graph_used
+                and not isinstance(vc, _MeshVectorColumn)
+                if expand is None
+                else bool(expand) and not isinstance(vc, _MeshVectorColumn)
             )
+            if do_expand:
+                fm = self._live[: vc.slots_cap]
+                if mask is not None:
+                    fm = fm & mask
+                out_d, out_i = expand_rerank_topk(
+                    vc.shadow, vc.state.adj0, i, ok_dev, qf_dev,
+                    metric=vc.spec.metric, k=k,
+                    filter_mask=jnp.asarray(fm),
+                )
+            else:
+                out_d, out_i = rerank_topk(
+                    vc.shadow, i, ok_dev, qf_dev, metric=vc.spec.metric, k=k
+                )
             return np.asarray(out_d)[:nq], np.asarray(out_i)[:nq]
         slots = np.asarray(i)[:nq]  # [nq, C]
         ok = slots >= 0
