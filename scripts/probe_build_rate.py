@@ -72,14 +72,14 @@ def main():
         xp = prepare_vectors_device(cfg, x)
         t0 = time.time()
         state = build_graph(
-            cfg, jax.lax.slice_in_dim(xp, 0, N - MARGIN, axis=0),
+            cfg, xp[: N - MARGIN],
             ids=np.arange(N - MARGIN, dtype=np.int32), max_batch=1024,
         )
         state.count.block_until_ready()
         t_ramp = time.time() - t0
         t1 = time.time()
         state = build_graph(
-            cfg, jax.lax.slice_in_dim(xp, N - MARGIN, MARGIN, axis=0),
+            cfg, xp[N - MARGIN :],
             ids=np.arange(N - MARGIN, N, dtype=np.int32), max_batch=1024,
             state=state, start_size=N - MARGIN,
         )

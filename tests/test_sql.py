@@ -454,17 +454,166 @@ class TestPlannerRobustness:
         assert [r[0] for r in rows] == got
 
     def test_unsupported_statement_raises(self):
-        # joins/subqueries on vec0 tables must raise a clear error, not
-        # fall through to stdlib sqlite3 (which has no such table)
+        # statements the engine can't run anywhere must raise a clear
+        # error; joins/subqueries now compose via the SQLite mirror
         from tpuvec.types import InvalidParameter
 
         db = self.make_db()
         db.execute("INSERT INTO t(e) VALUES (vec_f32('[1,0,0,0,0,0,0,0]'))")
+        rows = db.execute(
+            "SELECT a.rowid FROM t a JOIN t b ON a.rowid = b.rowid"
+        ).fetchall()
+        assert rows == [(1,)]
+        rows = db.execute("SELECT rowid FROM (SELECT * FROM t)").fetchall()
+        assert rows == [(1,)]
+        # writes through arbitrary SQL shapes still raise clearly
         with pytest.raises(InvalidParameter, match="unsupported statement"):
-            db.execute("SELECT a.rowid FROM t a JOIN t b ON a.rowid = b.rowid")
-        with pytest.raises(InvalidParameter, match="unsupported statement"):
-            db.execute("SELECT rowid FROM (SELECT * FROM t)")
+            db.execute("INSERT INTO t SELECT * FROM t")
         # ordinary SQL on non-vec0 tables still passes through
         db.execute("CREATE TABLE plain(x INTEGER)")
         db.execute("INSERT INTO plain VALUES (7)")
         assert db.execute("SELECT x FROM plain").fetchone() == (7,)
+
+
+class TestComposability:
+    """Arbitrary-SQL over vec0 tables via the SQLite mirror fallback —
+    the composability the reference gets from hosting a virtual table
+    inside SQLite's planner (src/vtab.rs:964-1028, 2341-2482):
+    joins, subqueries, aggregates, GROUP BY, arbitrary WHERE, and
+    KNN-with-metadata in one statement (integration_test.rs:681-1076)."""
+
+    def make_db(self, n=60):
+        db = connect()
+        db.execute(
+            "CREATE VIRTUAL TABLE t USING vec0(e float[8] "
+            "hnsw(M=4, ef_construction=32, distance=l2), cat)"
+        )
+        rng = np.random.default_rng(0)
+        self.X = rng.normal(size=(n, 8)).astype(np.float32)
+        for i, v in enumerate(self.X):
+            db.execute(
+                "INSERT INTO t(rowid, e, cat) VALUES (?, ?, ?)",
+                [i + 1, v.tobytes(), int(i % 3)],
+            )
+        db.execute("CREATE TABLE meta (id INTEGER PRIMARY KEY, title TEXT)")
+        for i in range(n):
+            db.execute("INSERT INTO meta VALUES (?, ?)", [i + 1, f"doc{i + 1}"])
+        return db
+
+    def test_aggregates_and_group_by(self):
+        db = self.make_db()
+        assert db.execute("SELECT count(*) FROM t").fetchone()[0] == 60
+        rows = db.execute(
+            "SELECT cat, count(*) FROM t GROUP BY cat ORDER BY cat"
+        ).fetchall()
+        assert rows == [(0, 20), (1, 20), (2, 20)]
+
+    def test_arbitrary_where_predicates(self):
+        db = self.make_db()
+        # range predicate (the regex planner would previously scan-drop it)
+        assert db.execute(
+            "SELECT count(*) FROM t WHERE cat > 1"
+        ).fetchone() == (20,)
+        # vec_* function in WHERE
+        n = db.execute(
+            "SELECT count(*) FROM t WHERE vec_length(e) = 8"
+        ).fetchone()
+        assert n == (60,)
+
+    def test_knn_join_with_metadata(self):
+        db = self.make_db()
+        rows = db.execute(
+            "SELECT t.rowid, t.distance, m.title FROM t "
+            "JOIN meta m ON m.id = t.rowid "
+            "WHERE t.e MATCH ? AND k = 5 ORDER BY t.distance",
+            [self.X[7].tobytes()],
+        ).fetchall()
+        assert len(rows) == 5
+        assert rows[0][0] == 8 and rows[0][2] == "doc8"
+        assert abs(rows[0][1]) < 1e-5
+        assert [r[1] for r in rows] == sorted(r[1] for r in rows)
+
+    def test_knn_match_via_vec_f32_and_alias(self):
+        db = self.make_db()
+        q = json.dumps([float(x) for x in self.X[9]])
+        rows = db.execute(
+            "SELECT a.rowid FROM t AS a JOIN meta m ON m.id = a.rowid "
+            "WHERE a.e MATCH vec_f32(?) AND k = 2",
+            [q],
+        ).fetchall()
+        assert rows[0][0] == 10
+
+    def test_subquery_and_cte(self):
+        db = self.make_db()
+        r = db.execute(
+            "SELECT vec_length(e) FROM t WHERE rowid IN "
+            "(SELECT id FROM meta WHERE title = ?)",
+            ["doc3"],
+        ).fetchall()
+        assert r == [(8,)]
+        r = db.execute(
+            "WITH big AS (SELECT rowid AS r FROM t WHERE cat = 2) "
+            "SELECT count(*) FROM big"
+        ).fetchone()
+        assert r == (20,)
+
+    def test_order_by_metadata_and_limit(self):
+        db = self.make_db()
+        rows = db.execute(
+            "SELECT rowid FROM t ORDER BY cat DESC, rowid LIMIT 3"
+        ).fetchall()
+        assert rows == [(3,), (6,), (9,)]
+
+    def test_composed_delete_and_update(self):
+        db = self.make_db()
+        db.execute("DELETE FROM t WHERE cat = 0 AND rowid > 50")
+        assert db.execute("SELECT count(*) FROM t").fetchone()[0] == 57
+        db.execute("UPDATE t SET cat = ? WHERE cat = 2 AND rowid <= 6", [9])
+        assert db.execute(
+            "SELECT count(*) FROM t WHERE cat = 9"
+        ).fetchone()[0] == 2
+        # mirror must re-materialize after the on-device writes
+        assert db.execute(
+            "SELECT count(*) FROM t WHERE cat = 2"
+        ).fetchone()[0] == 18
+
+    def test_mirror_vectors_are_json_text(self):
+        # direct projection of a vector column through the mirror reads
+        # as JSON (the reference's column() contract, vtab.rs:2341-2482)
+        db = self.make_db()
+        v = db.execute(
+            "SELECT e FROM t WHERE rowid = 4 AND 1 = 1"
+        ).fetchone()[0]
+        got = json.loads(v)
+        np.testing.assert_allclose(got, self.X[3], rtol=1e-6)
+
+    def test_two_vec0_tables_join(self):
+        db = self.make_db(20)
+        db.execute(
+            "CREATE VIRTUAL TABLE u USING vec0(f float[8] "
+            "hnsw(M=4, ef_construction=32, distance=l2), tag)"
+        )
+        for i in range(10):
+            db.execute(
+                "INSERT INTO u(rowid, f, tag) VALUES (?, ?, ?)",
+                [i + 1, self.X[i].tobytes(), int(i)],
+            )
+        rows = db.execute(
+            "SELECT t.rowid, u.tag FROM t JOIN u ON u.rowid = t.rowid "
+            "WHERE t.cat = 0 AND u.tag < 4 ORDER BY t.rowid"
+        ).fetchall()
+        assert rows == [(1, 0), (4, 3)]
+
+    def test_single_table_fast_path_unaffected(self):
+        db = self.make_db()
+        rows = db.execute(
+            "SELECT rowid, distance FROM t WHERE e MATCH ? AND k = 3 "
+            "ORDER BY distance",
+            [self.X[4].tobytes()],
+        ).fetchall()
+        assert rows[0][0] == 5
+        # no mirror should exist for the fast path
+        got = db.sqlite.execute(
+            "SELECT name FROM sqlite_temp_master WHERE type='table'"
+        ).fetchall()
+        assert got == []

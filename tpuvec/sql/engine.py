@@ -13,7 +13,16 @@ is a hybrid engine:
   the statement shapes the reference's vtab engine handles via
   best_index/filter (src/vtab.rs:964-1028, 2084-2330): KNN is
   ``WHERE col MATCH ? AND k = ?`` ordered by the hidden ``distance``
-  column; everything else is full scan / rowid lookup.
+  column; everything else is full scan / rowid lookup;
+* anything else — joins, subqueries, aggregates, GROUP BY, arbitrary
+  WHERE predicates, expression projections — composes through a MIRROR
+  fallback: the referenced vec0 tables are materialized into the real
+  SQLite connection (vectors as JSON text, exactly what the reference's
+  column() returns, src/vtab.rs:2341-2482), a ``col MATCH ? AND k = ?``
+  clause is pre-executed on the device and its (rowid, distance) result
+  becomes the mirror, and SQLite's own planner runs the full statement.
+  This recovers the composability the reference gets for free from
+  hosting a virtual table inside SQLite (src/vtab.rs:964-1028).
 
 Management functions follow the reference: ``vec_rebuild_hnsw(table, col
 [, M, ef_construction])`` (src/sql_functions.rs:436-534) and the
@@ -92,6 +101,54 @@ _REBUILD_RE = re.compile(
     r"^\s*SELECT\s+vec_rebuild_hnsw\s*\((?P<args>.*)\)\s*;?\s*$", re.IGNORECASE
 )
 
+# -- composability-fallback grammar (mirror path) ----------------------- #
+_FB_MATCH_RE = re.compile(
+    r"(?:(?P<qual>[\w\"]+)\s*\.\s*)?(?P<col>[\w\"]+)\s+MATCH\s+"
+    r"(?P<val>\?|'[^']*'|[xX]'[0-9a-fA-F]*'|vec_\w+\s*\([^()]*\))",
+    re.IGNORECASE,
+)
+_FB_KNOB_RES = {
+    "k": re.compile(
+        r"(?:\b\w+\s*\.\s*)?\bk\s*=\s*(?P<val>\?|\d+)", re.IGNORECASE
+    ),
+    "ef": re.compile(
+        r"(?:\b\w+\s*\.\s*)?\bef\s*=\s*(?P<val>\?|\d+)", re.IGNORECASE
+    ),
+    "coarse_k": re.compile(
+        r"(?:\b\w+\s*\.\s*)?\bcoarse_k\s*=\s*(?P<val>\?|\d+)", re.IGNORECASE
+    ),
+}
+_FB_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[\w\"]+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_FB_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>[\w\"]+)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SQL_KEYWORDS = frozenset(
+    "WHERE JOIN ON GROUP ORDER LIMIT LEFT RIGHT INNER OUTER CROSS AS USING"
+    " NATURAL SET HAVING UNION EXCEPT INTERSECT AND OR NOT MATCH".split()
+)
+
+
+class _Unsupported(Exception):
+    """Internal: the mini-planner can't run this statement shape — route
+    it to the SQLite-mirror composability fallback."""
+
+
+def _qmark_positions(sql: str) -> list[int]:
+    """Positions of bind-parameter '?' tokens outside string literals."""
+    out, in_str = [], False
+    for i, ch in enumerate(sql):
+        if ch == "'":
+            in_str = not in_str
+        elif ch == "?" and not in_str:
+            out.append(i)
+    return out
+
 
 class Database:
     """A connection-like object holding vec0 tables plus a real SQLite
@@ -108,6 +165,9 @@ class Database:
         self.tables: dict[str, VecTable] = {}
         self.mesh = mesh
         self._autoflush = True  # executemany defers flush to batch end
+        # composability-fallback mirror cache: table name -> (version,
+        # with_distance) of the temp-schema copy living in self.sqlite
+        self._mirrors: dict[str, tuple | None] = {}
 
     # -------------------------------------------------------------- #
 
@@ -155,7 +215,10 @@ class Database:
 
         m = _DROP_RE.match(sql)
         if m and m.group("name").strip('"') in self.tables:
-            del self.tables[m.group("name").strip('"')]
+            name = m.group("name").strip('"')
+            del self.tables[name]
+            self._mirrors.pop(name, None)
+            self.sqlite.execute(f'DROP TABLE IF EXISTS temp."{name}"')
             return Cursor([], [])
 
         m = _INSERT_RE.match(sql)
@@ -172,23 +235,38 @@ class Database:
 
         m = _SELECT_RE.match(sql)
         if m and m.group("name").strip('"') in self.tables:
-            return self._select(m, params)
+            try:
+                return self._select(m, list(params))
+            except _Unsupported:
+                pass  # single-table, but a shape only SQLite can run
 
         # A statement that references a vec0 table but matched no planner
-        # shape must NOT fall through to stdlib sqlite3 (which has no such
-        # table): raise a clear unsupported-statement error instead. The
-        # reference composes with arbitrary SQL through the vtab interface
-        # (src/vtab.rs:964-1028); the planner's supported surface is the
-        # reference's best_index statement shapes.
-        for tname in self.tables:
-            if re.search(rf"(?<!\w){re.escape(tname)}(?!\w)", sql):
-                raise InvalidParameter(
-                    f"unsupported statement for vec0 table '{tname}': the "
-                    "planner handles CREATE VIRTUAL TABLE / INSERT / UPDATE "
-                    "/ DELETE / single-table SELECT (MATCH + k/ef/filters, "
-                    "rowid lookup, scan) / DROP / vec_rebuild_hnsw — got: "
-                    f"{sql.strip()[:200]}"
-                )
+        # shape composes through the SQLite mirror: materialize the vec0
+        # tables (and any MATCH KNN result) into the real connection and
+        # let SQLite's planner run the statement — the same division of
+        # labor as the reference's vtab (best_index handles MATCH+k,
+        # SQLite handles everything else, src/vtab.rs:964-1028).
+        referenced = [
+            t
+            for t in self.tables
+            if re.search(rf"(?<!\w){re.escape(t)}(?!\w)", sql)
+        ]
+        if referenced:
+            if re.match(r"^\s*(SELECT|WITH)\b", sql, re.IGNORECASE):
+                return self._compose_select(sql, list(params), referenced)
+            dm = _FB_DELETE_RE.match(sql)
+            if dm and dm.group("name").strip('"') in self.tables:
+                return self._compose_delete(dm, list(params))
+            um = _FB_UPDATE_RE.match(sql)
+            if um and um.group("name").strip('"') in self.tables:
+                return self._compose_update(um, list(params))
+            raise InvalidParameter(
+                f"unsupported statement for vec0 table '{referenced[0]}': "
+                "supported are CREATE VIRTUAL TABLE / INSERT ... VALUES / "
+                "UPDATE / DELETE / SELECT (arbitrary read-only SQL incl. "
+                "joins + MATCH KNN) / DROP / vec_rebuild_hnsw — got: "
+                f"{sql.strip()[:200]}"
+            )
 
         cur = self.sqlite.execute(sql, params)
         desc = [d[0] for d in cur.description] if cur.description else []
@@ -334,11 +412,20 @@ class Database:
         where = m.group("where") or ""
         cols_expr = m.group("cols").strip()
         limit = m.group("limit")
+        order = (m.group("order") or "").strip()
+        match = _MATCH_RE.search(where)
+        # ORDER BY the planner can honor: `distance [ASC]` on a KNN result
+        # and `rowid [ASC]` on a scan — both orders the results already
+        # have. Anything else runs through the SQLite fallback.
+        if order:
+            o = re.sub(r"\s+ASC$", "", order, flags=re.IGNORECASE)
+            o = o.strip('" ').lower()
+            if o != ("distance" if match else "rowid"):
+                raise _Unsupported(order)
         # parse projections FIRST so `?` tokens bind in textual order
         # (SELECT exprs come before WHERE in the statement)
         projections = self._parse_projections(table, cols_expr, params)
 
-        match = _MATCH_RE.search(where)
         if match:
             kq = _K_RE.search(where)
             efq = _EF_RE.search(where)
@@ -350,6 +437,13 @@ class Database:
                 not in ("k", "ef", "coarse_k")
                 and em.group("col").strip('"') != match.group("col").strip('"')
             ]
+            # every WHERE clause must be one the planner executes; leftovers
+            # (range predicates, OR trees, function calls...) silently
+            # dropping would return wrong results — route them to SQLite
+            spans = [match.span()] + [
+                q.span() for q in (kq, efq, ckq) if q is not None
+            ] + [em.span() for em in eq_ms]
+            self._check_residue(where, spans)
             # Bind every token at its *textual* position: clause-type order
             # (MATCH, then k, then filters) misbinds e.g.
             # "WHERE e MATCH ? AND label = ? AND k = ?".
@@ -399,14 +493,30 @@ class Database:
         # rowid lookup or full scan
         rid_m = re.search(r"rowid\s*=\s*(\?|\d+)", where, re.IGNORECASE)
         if rid_m:
+            self._check_residue(where, [rid_m.span()])
             rid = int(self._take_param(rid_m.group(1), params))
             rows = [(rid, None)] if rid in table._rowid_to_slot else []
         else:
+            if where.strip():  # any other predicate: SQLite fallback
+                raise _Unsupported(where)
             table.flush()
             rows = [(rid, None) for rid in sorted(table._rowid_to_slot)]
             if limit:
                 rows = rows[: int(self._take_param(limit, params))]
         return self._project(table, projections, rows)
+
+    @staticmethod
+    def _check_residue(where: str, spans: list[tuple[int, int]]) -> None:
+        """After removing the recognized clauses, only AND connectives may
+        remain — otherwise the statement has predicates the mini-planner
+        would silently drop, so it must run through the SQLite mirror."""
+        buf = list(where)
+        for s, e in spans:
+            for i in range(s, e):
+                buf[i] = " "
+        residue = re.sub(r"\bAND\b", " ", "".join(buf), flags=re.IGNORECASE)
+        if residue.strip():
+            raise _Unsupported(residue.strip())
 
     # -- projections: raw columns plus vec_*(...) expressions ---------- #
     # (the slice of SQL composability the reference gets from SQLite's
@@ -463,6 +573,9 @@ class Database:
             return ("lit", float(expr))
         except ValueError:
             pass
+        if not re.fullmatch(r"[\w\"]+", expr):
+            # aggregates, arithmetic, CASE... — SQLite-mirror territory
+            raise _Unsupported(expr)
         return ("col", expr.strip('"'))
 
     def _eval_node(self, node, rid, dist, stored, *, as_arg: bool = False):
@@ -524,3 +637,227 @@ class Database:
             hp = hp.with_(ef_construction=efc)
         table.rebuild(cname, params=hp)
         return Cursor([("ok",)], ["vec_rebuild_hnsw"])
+
+    # -- composability fallback: run arbitrary SQL via a SQLite mirror -- #
+    # The reference composes with the WHOLE SQLite planner because vec0
+    # is a virtual table inside SQLite (joins/subqueries/aggregates all
+    # work, src/vtab.rs:964-1028, 2341-2482). The TPU engine recovers the
+    # same surface by materializing vec0 tables into the in-process
+    # SQLite connection: KNN (`col MATCH ? AND k = ?`) still executes on
+    # the device and its (rowid, distance) rows become the mirror, then
+    # SQLite runs the statement unchanged (MATCH/k rewritten to 1=1).
+
+    def _resolve_match_table(self, sql: str, fm, tnames: list[str]) -> str:
+        """Which vec0 table does `[qual.]col MATCH` target?"""
+        qual = (fm.group("qual") or "").strip('"')
+        col = fm.group("col").strip('"')
+        if qual in self.tables:
+            return qual
+        if qual:  # alias: find `<table> [AS] <alias>` in FROM/JOIN
+            for t in tnames:
+                if re.search(
+                    rf"\b{re.escape(t)}\s+(?:AS\s+)?{re.escape(qual)}\b",
+                    sql,
+                    re.IGNORECASE,
+                ):
+                    return t
+            raise InvalidParameter(f"cannot resolve alias '{qual}' in MATCH")
+        owners = [t for t in tnames if col in self.tables[t].vector_cols]
+        if len(owners) != 1:
+            raise InvalidParameter(
+                f"ambiguous MATCH column '{col}'; qualify it with the table"
+            )
+        return owners[0]
+
+    def _split_fallback_binds(self, sql: str, params: list, spans):
+        """Partition positional params between the planner-consumed spans
+        and the rewritten statement (textual order).
+
+        Returns (span_params: {span_idx: [values]}, pass_params)."""
+        qpos = _qmark_positions(sql)
+        span_params: dict[int, list] = {i: [] for i in range(len(spans))}
+        pass_params: list = []
+        if len(qpos) > len(params):
+            raise InvalidParameter("not enough bind parameters")
+        for qi, pos in enumerate(qpos):
+            owner = next(
+                (i for i, (s, e) in enumerate(spans) if s <= pos < e), None
+            )
+            if owner is None:
+                pass_params.append(params[qi])
+            else:
+                span_params[owner].append(params[qi])
+        return span_params, pass_params
+
+    def _compose_select(self, sql: str, params: list, tnames: list[str]) -> Cursor:
+        fms = [
+            fm
+            for fm in _FB_MATCH_RE.finditer(sql)
+            if any(
+                fm.group("col").strip('"') in self.tables[t].vector_cols
+                for t in tnames
+            )
+        ]
+        if len(fms) > 1:
+            raise InvalidParameter(
+                "at most one MATCH clause per statement (the reference's "
+                "vtab has the same one-KNN-per-cursor limit)"
+            )
+        spans: list[tuple[int, int]] = []
+        tokens: list[str] = []
+        knn_table = None
+        knobs: dict[str, str] = {}
+        if fms:
+            fm = fms[0]
+            knn_table = self._resolve_match_table(sql, fm, tnames)
+            spans.append(fm.span())
+            tokens.append(fm.group("val"))
+            for kname, kre in _FB_KNOB_RES.items():
+                km = kre.search(sql)
+                if km:
+                    spans.append(km.span())
+                    tokens.append(km.group("val"))
+                    knobs[kname] = None  # filled after bind split
+        span_params, pass_params = self._split_fallback_binds(
+            sql, params, spans
+        )
+        # evaluate consumed tokens with their own param slices
+        vals = [
+            self._eval_expr(tok, span_params[i]) for i, tok in enumerate(tokens)
+        ]
+        for i, kname in enumerate(knobs):
+            knobs[kname] = vals[1 + i]
+        # rewrite the statement: planner-consumed clauses become no-ops
+        out = sql
+        for s, e in sorted(spans, reverse=True):
+            out = out[:s] + "1=1" + out[e:]
+        with_distance = re.search(r"\bdistance\b", sql, re.IGNORECASE) is not None
+        for t in tnames:
+            if t == knn_table:
+                table = self.table(t)
+                col = fms[0].group("col").strip('"')
+                results = table.knn(
+                    col,
+                    vals[0],
+                    k=int(knobs.get("k") or 10),
+                    ef=int(knobs["ef"]) if knobs.get("ef") else None,
+                    coarse_k=(
+                        int(knobs["coarse_k"]) if knobs.get("coarse_k") else None
+                    ),
+                )
+                self._materialize_mirror(
+                    table,
+                    rows=[(r.rowid, r.distance) for r in results],
+                    with_distance=with_distance,
+                )
+            else:
+                self._materialize_mirror(
+                    self.table(t), with_distance=with_distance
+                )
+        cur = self.sqlite.execute(out, pass_params)
+        desc = [d[0] for d in cur.description] if cur.description else []
+        rows = cur.fetchall()
+        if knn_table is not None:
+            # KNN mirrors are per-query; drop so the next statement
+            # re-materializes the full table
+            self.sqlite.execute(f'DROP TABLE IF EXISTS temp."{knn_table}"')
+            self._mirrors.pop(knn_table, None)
+        return Cursor(rows, desc)
+
+    def _materialize_mirror(
+        self, table: VecTable, rows=None, with_distance: bool = False
+    ) -> None:
+        """Copy a vec0 table into the temp schema of self.sqlite.
+
+        ``rows=None`` mirrors every live row (cached by table version);
+        ``rows=[(rowid, distance)]`` mirrors a KNN result. Vector columns
+        are stored as JSON text — exactly what the reference's column()
+        returns for vector reads (src/vtab.rs:2341-2482) — so vec_*
+        scalar functions registered on the connection accept them."""
+        name = table.name
+        if rows is None:
+            table.flush()
+            key = (table._version, with_distance)
+            if self._mirrors.get(name) == key:
+                return
+            items = [(rid, None) for rid in sorted(table._rowid_to_slot)]
+        else:
+            key = None
+            items = rows
+        cols = ['"rowid" INTEGER PRIMARY KEY'] + [
+            f'"{c.name}"' for c in table.columns
+        ]
+        if with_distance:
+            cols.append('"distance" REAL')
+        self.sqlite.execute(f'DROP TABLE IF EXISTS temp."{name}"')
+        self.sqlite.execute(
+            f'CREATE TEMP TABLE "{name}" ({", ".join(cols)})'
+        )
+        data = []
+        for rid, dist in items:
+            stored = table.row(rid)
+            vals: list = [rid]
+            for c in table.columns:
+                v = stored.get(c.name)
+                vals.append(v.to_json() if isinstance(v, Vector) else v)
+            if with_distance:
+                vals.append(dist)
+            data.append(tuple(vals))
+        self.sqlite.executemany(
+            f'INSERT INTO "{name}" VALUES ({",".join("?" * len(cols))})', data
+        )
+        self._mirrors[name] = key
+
+    def _compose_delete(self, m, params: list) -> Cursor:
+        """DELETE with an arbitrary WHERE: resolve matching rowids through
+        the mirror, then delete on-device."""
+        table = self.table(m.group("name").strip('"'))
+        where = m.group("where")
+        if not where:
+            rids = sorted(table._rowid_to_slot)
+        else:
+            self._materialize_mirror(table)
+            rids = [
+                r[0]
+                for r in self.sqlite.execute(
+                    f'SELECT rowid FROM temp."{table.name}" WHERE {where}',
+                    params,
+                )
+            ]
+        if rids:
+            table.delete_many(rids)
+            self._mirrors.pop(table.name, None)
+        return Cursor([], [])
+
+    def _compose_update(self, m, params: list) -> Cursor:
+        """UPDATE with an arbitrary WHERE: SET values must be literals /
+        binds / vec_* calls (evaluated once), rowids resolve via the
+        mirror, the writes run on-device."""
+        table = self.table(m.group("name").strip('"'))
+        sets = {}
+        for part in self._split_exprs(m.group("sets")):
+            kcol, v = part.split("=", 1)
+            try:
+                sets[kcol.strip().strip('"')] = self._eval_expr(
+                    v.strip(), params
+                )
+            except (ValueError, AttributeError):
+                raise InvalidParameter(
+                    f"unsupported SET expression: {part.strip()[:80]}"
+                ) from None
+        where = m.group("where")
+        if not where:
+            rids = sorted(table._rowid_to_slot)
+        else:
+            self._materialize_mirror(table)
+            rids = [
+                r[0]
+                for r in self.sqlite.execute(
+                    f'SELECT rowid FROM temp."{table.name}" WHERE {where}',
+                    params,
+                )
+            ]
+        if rids:
+            table.update_many(rids, [dict(sets)] * len(rids))
+            self._mirrors.pop(table.name, None)
+        return Cursor([], [])

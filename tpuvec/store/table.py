@@ -473,6 +473,7 @@ class VecTable:
             c.name: _ScalarColumn(self.cap) for c in self.scalar_cols
         }
         self._live = np.zeros(self.cap, dtype=bool)  # slot occupancy
+        self._version = 0  # bumped on every mutation (SQL mirror cache key)
         self._next_slot = 0
         self._free_slots: list[int] = []
         self._max_rowid = 0
@@ -639,6 +640,7 @@ class VecTable:
                 if c.name in values:
                     self._scalars[c.name].set(slot, values[c.name])
             self._live[slot] = True
+            self._version += 1
             self._pending.append((rowid, slot, vecs))
             self._rowid_to_slot[rowid] = slot
             self._slot_to_rowid[slot] = rowid
@@ -779,6 +781,7 @@ class VecTable:
                 for col in self._scalars.values():
                     col.clear(s)
                 self._live[s] = False
+                self._version += 1
                 slots.append(s)
                 if self.mesh is None:
                     self._free_slots.append(s)
