@@ -96,6 +96,7 @@ _MATCH_RE = re.compile(r"(?P<col>[\w\"]+)\s+MATCH\s+(?P<val>\?|'[^']*')", re.IGN
 _K_RE = re.compile(r"\bk\s*=\s*(?P<val>\?|\d+)", re.IGNORECASE)
 _EF_RE = re.compile(r"\bef\s*=\s*(?P<val>\?|\d+)", re.IGNORECASE)
 _COARSE_RE = re.compile(r"\bcoarse_k\s*=\s*(?P<val>\?|\d+)", re.IGNORECASE)
+_EXPAND_RE = re.compile(r"\bexpand\s*=\s*(?P<val>\?|\d+)", re.IGNORECASE)
 _EQ_RE = re.compile(r"(?P<col>[\w\"]+)\s*=\s*(?P<val>\?|'[^']*'|-?\d+(?:\.\d+)?)")
 _REBUILD_RE = re.compile(
     r"^\s*SELECT\s+vec_rebuild_hnsw\s*\((?P<args>.*)\)\s*;?\s*$", re.IGNORECASE
@@ -116,6 +117,9 @@ _FB_KNOB_RES = {
     ),
     "coarse_k": re.compile(
         r"(?:\b\w+\s*\.\s*)?\bcoarse_k\s*=\s*(?P<val>\?|\d+)", re.IGNORECASE
+    ),
+    "expand": re.compile(
+        r"(?:\b\w+\s*\.\s*)?\bexpand\s*=\s*(?P<val>\?|\d+)", re.IGNORECASE
     ),
 }
 _FB_DELETE_RE = re.compile(
@@ -430,18 +434,19 @@ class Database:
             kq = _K_RE.search(where)
             efq = _EF_RE.search(where)
             ckq = _COARSE_RE.search(where)
+            exq = _EXPAND_RE.search(where)
             eq_ms = [
                 em
                 for em in _EQ_RE.finditer(where)
                 if em.group("col").strip('"').lower()
-                not in ("k", "ef", "coarse_k")
+                not in ("k", "ef", "coarse_k", "expand")
                 and em.group("col").strip('"') != match.group("col").strip('"')
             ]
             # every WHERE clause must be one the planner executes; leftovers
             # (range predicates, OR trees, function calls...) silently
             # dropping would return wrong results — route them to SQLite
             spans = [match.span()] + [
-                q.span() for q in (kq, efq, ckq) if q is not None
+                q.span() for q in (kq, efq, ckq, exq) if q is not None
             ] + [em.span() for em in eq_ms]
             self._check_residue(where, spans)
             # Bind every token at its *textual* position: clause-type order
@@ -454,6 +459,8 @@ class Database:
                 slots.append((efq.start("val"), "ef", efq.group("val")))
             if ckq:
                 slots.append((ckq.start("val"), "ck", ckq.group("val")))
+            if exq:
+                slots.append((exq.start("val"), "ex", exq.group("val")))
             for j, em in enumerate(eq_ms):
                 slots.append((em.start("val"), f"eq{j}", em.group("val")))
             bound = {
@@ -464,6 +471,7 @@ class Database:
             k = int(bound["k"]) if kq else 10
             ef = int(bound["ef"]) if efq else None
             coarse_k = int(bound["ck"]) if ckq else None
+            expand = bool(int(bound["ex"])) if exq else None
             # extra equality filters (partition / metadata)
             partition = None
             predicate_eqs = {}
@@ -484,6 +492,7 @@ class Database:
                 partition=partition,
                 filters=predicate_eqs or None,
                 coarse_k=coarse_k,
+                expand=expand,
             )
             if limit:
                 n = int(self._take_param(limit, params))
@@ -743,6 +752,11 @@ class Database:
                     ef=int(knobs["ef"]) if knobs.get("ef") else None,
                     coarse_k=(
                         int(knobs["coarse_k"]) if knobs.get("coarse_k") else None
+                    ),
+                    expand=(
+                        bool(int(knobs["expand"]))
+                        if knobs.get("expand") is not None
+                        else None
                     ),
                 )
                 self._materialize_mirror(
