@@ -91,7 +91,13 @@ def _config():
     # TPU-tuned degree: search cost is bound by gathered-row count
     # (B x M0 rows/iter at ~16 ns/row on v5e), so M0=32 beats the
     # reference's CPU-tuned 64 — measured at 100K x 768: 0.984 recall @
-    # 20.9K QPS (vs 0.982 @ 15.3K) and 2x the build rate
+    # 20.9K QPS (vs 0.982 @ 15.3K) and 2x the build rate.
+    # Keep efc=200 with the UNCAPPED construction beam: capping it to 64
+    # iterations (efc=128) was +46% build rate at 100K with -0.002
+    # recall, but at 1M the same cap starves graph navigation (0.900 vs
+    # 0.983 recall@ef=48) and buys no build rate at all (636 vs 643
+    # vec/s) — the 1M build cost is NOT candidate-beam-bound
+    # (ROUND_NOTES round 3)
     params = HnswParams(m=16, max_m0=32, ef_construction=200, ef_search=128)
     return config_for(D, metric=DistanceMetric.COSINE, params=params, cap=N)
 
