@@ -138,6 +138,37 @@ def test_structural_invariants(data64):
             assert s >= 0 and upper_nodes[s] == i
 
 
+def test_reachability_and_edge_budget(data64):
+    """Level-0 connectivity (BFS from the entry point must reach ~every
+    node — the protected-prefix reverse prune exists exactly to prevent
+    graph shattering at scale) and the edge budget the reference audits
+    via shadow-table counts (tests/test_edge_counts.rs): mean out-degree
+    must sit well inside (0, max_m0]."""
+    _, _, state = data64
+    adj0 = np.asarray(state.adj0)[:N64]
+    deg = (adj0 >= 0).sum(axis=1)
+    assert 2.0 <= deg.mean() <= CFG64.max_m0, deg.mean()
+
+    # BFS over the undirected closure (search can enter a node through
+    # either edge direction via the beam's candidate expansion)
+    fwd = [set(r[r >= 0].tolist()) for r in adj0]
+    und = [set(s) for s in fwd]
+    for i, nbrs in enumerate(fwd):
+        for j in nbrs:
+            und[j].add(i)
+    seen = {int(state.entry_point)}
+    frontier = [int(state.entry_point)]
+    while frontier:
+        nxt = []
+        for i in frontier:
+            for j in und[i]:
+                if j not in seen:
+                    seen.add(j)
+                    nxt.append(j)
+        frontier = nxt
+    assert len(seen) >= 0.99 * N64, f"only {len(seen)}/{N64} reachable"
+
+
 def test_delete_and_research(data64):
     x, xp, state = data64
     state = copy_state(state)
