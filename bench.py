@@ -103,14 +103,23 @@ def _config():
 
 
 def _dataset():
-    """Deterministic corpus + query pool (worker and parent both call)."""
+    """Deterministic corpus + query pool (worker and parent both call).
+
+    Cached to /tmp as one .npy: generation takes ~5 min of single-core
+    CPU at 1M x 768 and both the worker subprocess and the parent need
+    it every run — a disk read is ~20x faster."""
     from tpuvec.utils.data import synthetic_embeddings
 
     n_clusters = 1024 if N >= 500_000 else 256
-    data = synthetic_embeddings(
-        N + QN * (REPS + 1), D, n_clusters=n_clusters, seed=0
-    )
-    return data[:N], data[N:]
+    rows = N + QN * (REPS + 1)
+    cache = f"/tmp/tpuvec_data_{rows}x{D}_c{n_clusters}_s0.npy"
+    if os.path.exists(cache):
+        data = np.load(cache, mmap_mode="r")
+    else:
+        data = synthetic_embeddings(rows, D, n_clusters=n_clusters, seed=0)
+        np.save(cache + f".tmp{os.getpid()}.npy", data)
+        os.replace(cache + f".tmp{os.getpid()}.npy", cache)
+    return data[:N], np.asarray(data[N:])
 
 
 def _restore_state(cfg, xp_dev, jnp):
