@@ -17,6 +17,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+# force CPU BEFORE importing anything that touches jnp at module scope:
+# backend init on the axon platform blocks in a connect-retry sleep loop
+# whenever the relay is down — exactly when this script is most useful
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 os.environ.setdefault("TPUVEC_BIN_N", "10000000")
 
 OUT = "/tmp/x10m_gt_parts"
