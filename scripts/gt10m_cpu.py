@@ -26,18 +26,18 @@ jax.config.update("jax_platforms", "cpu")
 
 os.environ.setdefault("TPUVEC_BIN_N", "10000000")
 
-OUT = "/tmp/x10m_gt_parts"
 K = 10
 
 
 def main():
     import probe_10m_binary as p
 
-    os.makedirs(OUT, exist_ok=True)
+    out = f"/tmp/x10m_gt_parts_n{p.N}"
+    os.makedirs(out, exist_ok=True)
     q = np.asarray(p.queries()[: p.QN], dtype=np.float32)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
     for start in range(0, p.N, p.GEN_CHUNK):
-        path = f"{OUT}/{start:09d}.npz"
+        path = f"{out}/{start:09d}.npz"
         if os.path.exists(path):
             continue
         x = p.gen_chunk(start, min(p.GEN_CHUNK, p.N - start))
