@@ -6,6 +6,9 @@ host core (~65 s/chunk gen vs ~3 s/chunk read).
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -52,8 +52,14 @@ def main():
     with open(CKPT + ".json") as f:
         pos = int(json.load(f)["pos"])
     # rebuild the vectors array exactly like bench._restore_state
+    # (reuse bench.py's /tmp dataset cache when present: regeneration is
+    # ~5 min of single-core CPU)
     n_clusters = 1024 if N >= 500_000 else 256
-    x = synthetic_embeddings(N, D, n_clusters=n_clusters, seed=0)
+    cache = f"/tmp/tpuvec_data_{N + 256 * 6}x{D}_c{n_clusters}_s0.npy"
+    if os.path.exists(cache):
+        x = np.load(cache, mmap_mode="r")[:N]
+    else:
+        x = synthetic_embeddings(N, D, n_clusters=n_clusters, seed=0)
     xp = prepare_vectors_device(cfg, x)
     z = np.load(CKPT)
     fields = {f: jnp.asarray(z[f]) for f in _CKPT_FIELDS}
