@@ -8,6 +8,11 @@ on (utils/timing wraps each of the four insert stages with
 block_until_ready), and prints the per-stage wall-clock breakdown.
 
 Usage: python scripts/profile_insert_1m.py [n_batches]
+Env knobs:
+  TPUVEC_PROFILE_BATCH   insert batch size (default 1024) — for the
+                         max_batch amortization A/B (2048/4096)
+  TPUVEC_PROFILE_TIMING  0 disables the per-stage breakdown (stage syncs
+                         serialize the pipeline; off = true marginal rate)
 """
 
 import json
@@ -36,7 +41,9 @@ from tpuvec.utils.transfer import prepare_vectors_device
 
 enable_atomic_cache_writes()
 
-N, D, BATCH = 1_000_000, 768, 1024
+N, D = 1_000_000, 768
+BATCH = int(os.environ.get("TPUVEC_PROFILE_BATCH", 1024))
+TIMING = os.environ.get("TPUVEC_PROFILE_TIMING", "1") == "1"
 CKPT = f"/tmp/tpuvec_bench_{N}x{D}.npz"
 _CKPT_FIELDS = [
     "adj0", "adj0_dist", "levels", "upper_slot", "upper_nodes",
@@ -71,7 +78,8 @@ def main():
     # profile re-inserting rows [pos-K*B, pos) as if fresh (same shapes /
     # distribution as real tail-of-build inserts; ids overwrite in place)
     start = pos - n_batches * BATCH
-    timing.enable()
+    if TIMING:
+        timing.enable()
     t0 = time.time()
     for bi in range(n_batches):
         ids = np.arange(start + bi * BATCH, start + (bi + 1) * BATCH,

@@ -46,44 +46,6 @@ __all__ = ["insert_batch", "build_graph", "delete_ids", "plan_batch_sizes"]
 _INF = jnp.float32(jnp.inf)
 
 
-def _prune_scan(
-    adj, adj_dist, rows_idx, new_id, new_dist, ok, cap, max_conn, protect=0
-):
-    """Merge `new_id` into each adjacency row rows_idx[j], keeping the
-    closest entries (the reference's prune, insert.rs:144-221) — but only
-    within the row *suffix* beyond `protect` slots.
-
-    The first `protect` slots hold the row owner's heuristic-selected
-    forward edges and are never evicted by reverse-edge churn. Without
-    this, closest-only reverse pruning gradually replaces every row with
-    its local kNN set, deleting the diverse bridge edges and shattering
-    level 0 into micro-components (measured at 100K x 768: only 0.6% of
-    nodes BFS-reachable from the entry point; recall ceiling 0.69).
-    hnswlib prevents the same decay by running the diversity heuristic on
-    shrink; slot protection is the cheap batched equivalent.
-
-    adj/adj_dist: [R, max_conn] arrays for this level. rows_idx [M]: rows
-    to update; new_id scalar; new_dist [M]; ok [M] mask.
-    Returns updated (adj, adj_dist).
-    """
-    keep = max_conn - protect
-    safe = jnp.maximum(rows_idx, 0)
-    rows = adj[safe][:, protect:]        # [M, keep]
-    rowsd = adj_dist[safe][:, protect:]
-    cat_i = jnp.concatenate(
-        [rows, jnp.where(ok, new_id, -1)[:, None]], axis=1
-    )
-    cat_d = jnp.concatenate(
-        [rowsd, jnp.where(ok, new_dist, _INF)[:, None]], axis=1
-    )
-    new_rowsd, new_rows = bitonic_smallest(cat_d, cat_i, k=keep)
-    new_rows = jnp.where(jnp.isfinite(new_rowsd), new_rows, -1)
-    tgt = jnp.where(ok, rows_idx, cap)  # out-of-range -> dropped
-    adj = adj.at[tgt, protect:].set(new_rows, mode="drop")
-    adj_dist = adj_dist.at[tgt, protect:].set(new_rowsd, mode="drop")
-    return adj, adj_dist
-
-
 def _pairwise_cands(config: HnswConfig, cvecs: jnp.ndarray) -> jnp.ndarray:
     """Pairwise *internal-metric* distances among candidates:
     [nb, C, Dp] -> [nb, C, C].
@@ -300,24 +262,19 @@ def _stage_upper(
             upper_adj = upper_adj.at[row_tgt, lo:hi].set(sel_i, mode="drop")
             upper_dist = upper_dist.at[row_tgt, lo:hi].set(sel_d, mode="drop")
 
-            # reverse edges with prune (scan keeps conflicting updates exact)
+            # reverse edges with prune — one vectorized sort-based pass
+            # over all (neighbor slot <- new id) pairs (same machinery as
+            # level 0; keep-smallest-K is order-independent, so this is
+            # equivalent to the per-entrant sequential scan it replaced,
+            # minus nb sequential dependency steps per level)
             adj_l = upper_adj[:, lo:hi]
             dist_l = upper_dist[:, lo:hi]
-
-            def rev_body(carry, inp):
-                a, ad = carry
-                u, s_i, s_d, u_ok = inp
-                s_slots = jnp.where(
-                    s_i >= 0, state.upper_slot[jnp.maximum(s_i, 0)], -1
-                )
-                ok = jnp.logical_and(
-                    jnp.logical_and(s_slots >= 0, jnp.isfinite(s_d)), u_ok
-                )
-                a, ad = _prune_scan(a, ad, s_slots, u, s_d, ok, c.cap_u, c.m)
-                return (a, ad), None
-
-            (adj_l, dist_l), _ = jax.lax.scan(
-                rev_body, (adj_l, dist_l), (new_ids, sel_i, sel_d, at_lev)
+            s_slots = jnp.where(
+                sel_i >= 0, state.upper_slot[jnp.maximum(sel_i, 0)], -1
+            )
+            adj_l, dist_l = _reverse_pass(
+                adj_l, dist_l, new_ids, s_slots, sel_d, at_lev,
+                c.cap_u, c.m, protect=0,
             )
             upper_adj = upper_adj.at[:, lo:hi].set(adj_l)
             upper_dist = upper_dist.at[:, lo:hi].set(dist_l)
@@ -337,6 +294,16 @@ def _stage_upper(
 
 def _reverse_pass(adj, adj_dist, new_ids, fwd_i, fwd_d, ok_new, cap, max_conn, protect):
     """Vectorized reverse-edge insertion with protected-prefix pruning.
+
+    The first `protect` slots of each row hold the row owner's
+    heuristic-selected forward edges and are never evicted by
+    reverse-edge churn. Without this, closest-only reverse pruning
+    gradually replaces every row with its local kNN set, deleting the
+    diverse bridge edges and shattering level 0 into micro-components
+    (measured at 100K x 768: only 0.6% of nodes BFS-reachable from the
+    entry point; recall ceiling 0.69). hnswlib prevents the same decay by
+    running the diversity heuristic on shrink; slot protection is the
+    cheap batched equivalent.
 
     Replaces a sequential per-node scan (nb steps) with one sort-based
     pass. For every (neighbor s <- new u) pair, group pairs by s (stable
