@@ -78,6 +78,17 @@ def main():
     # profile re-inserting rows [pos-K*B, pos) as if fresh (same shapes /
     # distribution as real tail-of-build inserts; ids overwrite in place)
     start = pos - n_batches * BATCH
+    # warm up: the FIRST execution of each jitted program in a process
+    # costs minutes on the remote relay (program load), independent of
+    # compile caching — never time it (measured: batch 0 = 309s, batch
+    # 1+ = 1.78s at 1M x 768, batch 1024)
+    wids = np.arange(start, start + BATCH, dtype=np.int32)
+    wlv = sample_levels(
+        jnp.asarray(wids), cfg.rng_seed, cfg.level_factor, cfg.lu
+    )
+    state = insert_batch(cfg, state, jnp.asarray(wids), xp[start:start + BATCH], wlv)
+    state.count.block_until_ready()
+    print("warmup batch done", flush=True)
     if TIMING:
         timing.enable()
     t0 = time.time()
@@ -89,8 +100,10 @@ def main():
         lv = sample_levels(
             jnp.maximum(bi_dev, 0), cfg.rng_seed, cfg.level_factor, cfg.lu
         )
+        tb = time.time()
         state = insert_batch(cfg, state, bi_dev, bv, lv)
         state.count.block_until_ready()
+        print(f"  batch {bi}: {time.time() - tb:.3f}s", flush=True)
     wall = time.time() - t0
     print(f"{n_batches} batches of {BATCH}: "
           f"{n_batches * BATCH / wall:.0f} vec/s", flush=True)

@@ -216,8 +216,26 @@ def _stage_upper(
     """Stage 3: upper-level edges — exact MXU selection over the compact
     upper pool + reverse prune."""
     c = config
+    nb = new_ids.shape[0]
     ok_new = new_ids >= 0
     new_levels = _batch_levels(config, state, new_ids)
+
+    # Compact the batch to its level>=1 members before the pool scan.
+    # Only ~nb/m rows reach level 1 (P = 1/m per node), yet the exact
+    # pool-selection matmul + top-k below ran for the whole batch —
+    # measured at 1M x 768 (nb=1024, m=16): 1.2 s of the 1.9 s batch.
+    # K = 4x the expected count (mean nb/16, so K >= mean + 24 sigma:
+    # overflow probability is negligible); overflowing rows keep their
+    # level but get no upper out-edges (still reachable at level 0).
+    k_up = nb if nb <= 256 else max(256, nb // 4)
+    up = jnp.logical_and(ok_new, new_levels >= 1)
+    order = jnp.argsort(jnp.logical_not(up).astype(jnp.int32), stable=True)
+    sub = order[:k_up]
+    sub_up = up[sub]
+    new_ids = jnp.where(sub_up, new_ids[sub], -1)
+    new_vecs = new_vecs[sub]
+    new_levels = jnp.where(sub_up, new_levels[sub], -1)
+    ok_new = new_ids >= 0
     slot = jnp.where(ok_new, state.upper_slot[jnp.maximum(new_ids, 0)], -1)
 
     pool_vecs = state.vectors[jnp.maximum(state.upper_nodes, 0)]  # [cap_u, Dp]
