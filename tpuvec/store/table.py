@@ -1073,9 +1073,12 @@ class VecTable:
         hits a recall ceiling the one-hop expansion recovers cheaply.
         """
         # rerank budget: wider coarse_k trades QPS for recall through the
-        # Hamming quantization ceiling; callers tune it per query (the
-        # round-2 1M x 1024 sweep measured 0.937@C=192 vs 0.683@C=48)
-        coarse_k = int(coarse_k) if coarse_k else max(8 * k, 64)
+        # Hamming quantization ceiling; callers tune it per query. Default
+        # sized so the stock surface clears recall@10 0.95 at 1M x 1024:
+        # with the one-hop expansion below, C=96/ef=128 measured 0.9637 @
+        # 1711 QPS on v5e (without expand the same budget is ~0.85 and
+        # C=192 only reaches 0.936 — the expansion is what closes it)
+        coarse_k = int(coarse_k) if coarse_k else max(10 * k, 96)
         graph_used = not (
             use_exact
             or not vc.has_hnsw
