@@ -130,6 +130,42 @@ class TestFilters:
         for r in res:
             assert t.row(r.rowid)["tenant"] == 1
 
+    def test_per_query_partitions_match_scalar_loop(self, rng):
+        # B queries, each its own tenant, in ONE dispatch: must agree with
+        # the per-query scalar-partition path (which picks the exact
+        # masked scan at this selectivity too).
+        t = small_table(extra=[ColumnSpec.partition_key("tenant")])
+        x = rand_rows(rng, 64)
+        for i in range(64):
+            t.insert({"emb": x[i], "tenant": i % 4})
+        qs = rand_rows(rng, 8)
+        parts = [i % 4 for i in range(8)]
+        batched = t.knn_many("emb", qs, k=3, partition=parts)
+        for b in range(8):
+            single = t.knn("emb", qs[b], k=3, partition=parts[b], exact=True)
+            assert [r.rowid for r in batched[b]] == [r.rowid for r in single]
+            for r in batched[b]:
+                assert t.row(r.rowid)["tenant"] == parts[b]
+
+    def test_per_query_partitions_unseen_and_none(self, rng):
+        t = small_table(extra=[ColumnSpec.partition_key("tenant")])
+        x = rand_rows(rng, 20)
+        for i in range(16):
+            t.insert({"emb": x[i], "tenant": 0 if i % 2 == 0 else None})
+        out = t.knn_many(
+            "emb", [x[0], x[1], x[2]], k=4, partition=[0, None, "missing"]
+        )
+        assert out[0] and all(t.row(r.rowid)["tenant"] == 0 for r in out[0])
+        assert out[1] and all(t.row(r.rowid)["tenant"] is None for r in out[1])
+        assert out[2] == []
+
+    def test_per_query_partitions_require_partition_col(self, rng):
+        t = small_table()
+        x = rand_rows(rng, 4)
+        t.insert_many([{"emb": v} for v in x])
+        with pytest.raises(InvalidParameter):
+            t.knn_many("emb", [x[0], x[1]], k=2, partition=[1, 2])
+
     def test_metadata_predicate(self, rng):
         t = small_table(extra=[ColumnSpec.metadata("cat")])
         x = rand_rows(rng, 30)

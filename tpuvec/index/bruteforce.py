@@ -41,12 +41,22 @@ def bruteforce_knn_internal(
     k: int,
     chunk: int = 16384,
     normalized: bool = False,
+    slot_codes: jnp.ndarray | None = None,
+    q_codes: jnp.ndarray | None = None,
 ):
     """Exact k-NN in *internal* distance space.
 
     q [B, D]; x [N, D] (N padded rows allowed — mask them via `valid`);
     valid [N] bool. Returns (internal_dists [B, k], ids [B, k]) ascending;
     masked/padded slots come back as (+inf, -1).
+
+    `slot_codes` [N] int32 + `q_codes` [B] int32 enable PER-QUERY equality
+    filtering in one dispatch (multi-tenant serving: B queries, each its
+    own partition): row n is eligible for query b iff
+    slot_codes[n] == q_codes[b]. The [B, chunk] mask is computed in-kernel
+    against the distance tile the MXU already produced, so the filtered
+    batch costs the same as the unfiltered one — vs the reference, which
+    parses PARTITION KEY but never filters at all (src/vtab.rs:2479-2480).
     """
     b, _ = q.shape
     n = x.shape[0]
@@ -61,6 +71,8 @@ def bruteforce_knn_internal(
         pad = n_pad - n
         x = jnp.pad(x, ((0, pad), (0, 0)))
         valid = jnp.pad(valid, (0, pad))
+        if slot_codes is not None:
+            slot_codes = jnp.pad(slot_codes, (0, pad), constant_values=-1)
     n_chunks = n_pad // chunk
 
     init_d = jnp.full((b, k), _INF, dtype=jnp.float32)
@@ -69,12 +81,15 @@ def bruteforce_knn_internal(
     xs = x.reshape(n_chunks, chunk, x.shape[-1])
     vs = valid.reshape(n_chunks, chunk)
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    cs = None if slot_codes is None else slot_codes.reshape(n_chunks, chunk)
 
     def step(carry, inp):
         run_d, run_i = carry
-        xc, vc, start = inp
+        xc, vc, start, cc = inp
         d = internal_pairwise(metric, q, xc, normalized=normalized)
         d = jnp.where(vc[None, :], d, _INF)
+        if cc is not None:
+            d = jnp.where(cc[None, :] == q_codes[:, None], d, _INF)
         ids = (start + jnp.arange(chunk, dtype=jnp.int32))[None, :].repeat(b, axis=0)
         cd, ci = topk_smallest(d, ids, min(k, chunk))
         if k > chunk:  # pad chunk top-k up to k for a uniform merge width
@@ -82,7 +97,9 @@ def bruteforce_knn_internal(
             ci = jnp.pad(ci, ((0, 0), (0, k - chunk)), constant_values=-1)
         return merge_topk(run_d, run_i, cd, ci, k), None
 
-    (out_d, out_i), _ = jax.lax.scan(step, (init_d, init_i), (xs, vs, starts))
+    (out_d, out_i), _ = jax.lax.scan(
+        step, (init_d, init_i), (xs, vs, starts, cs)
+    )
     out_i = jnp.where(jnp.isfinite(out_d), out_i, -1)
     return out_d, out_i
 

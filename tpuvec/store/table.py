@@ -941,6 +941,14 @@ class VecTable:
         the QPS of B=64 on v5e); this is the table-level surface for it.
         Queries are padded to a power-of-two batch so jit compiles one
         program per bucket.
+
+        `partition` may also be a sequence of length ``len(queries)`` —
+        one partition value PER QUERY — which runs all B single-tenant
+        lookups as one device dispatch (multi-tenant serving shape). The
+        per-query form always uses the exact masked scan: at typical
+        tenant selectivity (corpus/tenants rows each) that is the plan the
+        scalar path would pick anyway, and the in-kernel code compare is
+        free against the MXU distance tile.
         """
         with self._lock, timing.timer("table.knn"):
             self.flush()
@@ -954,6 +962,33 @@ class VecTable:
                 return []
             qvs = [self._decode_vector(vc.spec, q) for q in queries]
             qp = self._prepare_query_batch(vc, qvs)
+
+            if (
+                partition is not None
+                and isinstance(partition, (list, tuple, np.ndarray))
+                and not isinstance(partition, (str, bytes))
+                and len(partition) == nq
+            ):
+                if self.partition_col is None:
+                    raise InvalidParameter(
+                        "table has no partition key column"
+                    )
+                if isinstance(vc, _MeshVectorColumn):
+                    raise InvalidParameter(
+                        "per-query partitions are not supported on "
+                        "mesh-backed tables; loop over knn(partition=...)"
+                    )
+                if (
+                    vc.spec.quantization is IndexQuantization.BINARY
+                    and vc.spec.vec_type is VectorType.FLOAT32
+                ):
+                    raise InvalidParameter(
+                        "per-query partitions are not supported on "
+                        "binary+rerank columns; loop over knn(partition=...)"
+                    )
+                mask = self._filter_mask(None, predicate, filters)
+                d, i = self._exact_coded(vc, qp, k, partition, mask)
+                return self._collect_results(d, i, nq, k)
 
             mask = self._filter_mask(partition, predicate, filters)
             use_exact = exact if exact is not None else not vc.has_hnsw
@@ -985,21 +1020,24 @@ class VecTable:
             else:
                 d, i = self._hnsw(vc, qp, k, ef)
 
-            dn, inn = np.asarray(d), np.asarray(i)
-            results: list[list[QueryResult]] = []
-            for b in range(nq):
-                out = []
-                for dist, slot in zip(dn[b], inn[b]):
-                    if slot < 0 or not np.isfinite(dist):
-                        continue
-                    rid = self._slot_to_rowid.get(int(slot))
-                    if rid is None:
-                        continue
-                    out.append(QueryResult(rid, float(dist), {}))
-                    if len(out) >= k:
-                        break
-                results.append(out)
-            return results
+            return self._collect_results(d, i, nq, k)
+
+    def _collect_results(self, d, i, nq: int, k: int):
+        dn, inn = np.asarray(d), np.asarray(i)
+        results: list[list[QueryResult]] = []
+        for b in range(nq):
+            out = []
+            for dist, slot in zip(dn[b], inn[b]):
+                if slot < 0 or not np.isfinite(dist):
+                    continue
+                rid = self._slot_to_rowid.get(int(slot))
+                if rid is None:
+                    continue
+                out.append(QueryResult(rid, float(dist), {}))
+                if len(out) >= k:
+                    break
+            results.append(out)
+        return results
 
     def _prepare_query_batch(
         self, vc: _VectorColumn, qvs: Sequence[Vector]
@@ -1042,6 +1080,41 @@ class VecTable:
                 k=k,
                 normalized=c.normalized,
             )
+        out = internal_to_output(c.metric, d, normalized=c.normalized)
+        return jnp.where(jnp.isfinite(d), out, jnp.inf), i
+
+    def _exact_coded(self, vc, qp, k, partitions, mask):
+        """Per-query partition-filtered exact scan, one device dispatch.
+
+        Tenant values are interned to int codes host-side; the [B, chunk]
+        eligibility compare happens in-kernel against the slot-code array,
+        so B different single-tenant lookups cost one batched MXU scan
+        (the reference parses PARTITION KEY but never filters,
+        src/vtab.rs:2479-2480)."""
+        c = vc.config
+        sc = self._scalars[self.partition_col]
+        qcodes = np.full(qp.shape[0], -2, dtype=np.int32)  # pad rows: none
+        for b, v in enumerate(partitions):
+            if v is None:
+                qcodes[b] = -1  # rows with no partition value
+            else:
+                try:
+                    qcodes[b] = sc._code_of.get(v, -2)  # unseen: none
+                except TypeError:
+                    qcodes[b] = -2
+        valid = self._live[: self.cap]
+        if mask is not None:
+            valid = valid & mask
+        d, i = bruteforce_knn_internal(
+            qp,
+            vc.state.vectors,
+            jnp.asarray(valid),
+            metric=c.graph_metric,
+            k=k,
+            normalized=c.normalized,
+            slot_codes=jnp.asarray(sc.codes[: self.cap].astype(np.int32)),
+            q_codes=jnp.asarray(qcodes),
+        )
         out = internal_to_output(c.metric, d, normalized=c.normalized)
         return jnp.where(jnp.isfinite(d), out, jnp.inf), i
 
