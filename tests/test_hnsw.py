@@ -400,3 +400,53 @@ def test_upper_capacity_overflow_demotes_to_level0():
     _, i_h = search(cfg, state, qp, k=1, ef=48)
     self_hit = (np.asarray(i_h)[:, 0] == np.arange(64)).mean()
     assert self_hit >= 0.7
+
+
+def test_heuristic_select_matches_canonical_scan():
+    # heuristic_select runs a next-survivor loop of max_conn steps; it must
+    # produce exactly the canonical per-candidate scan's kept set (walk
+    # candidates ascending, keep c iff closer to the new node than to every
+    # already-kept neighbor) plus the closest rejected fill, i.e. the
+    # reference's RNG heuristic semantics (src/hnsw/mod.rs:29-32).
+    from tpuvec.index.build import heuristic_select
+
+    rng = np.random.default_rng(11)
+    nb, c, d, max_conn = 8, 48, 32, 8
+    cfg = config_for(d, metric=DistanceMetric.L2, cap=256)
+    cvecs = rng.standard_normal((nb, c, cfg.padded_dim)).astype(np.float32)
+    cvecs[:, :, d:] = 0.0
+    base = rng.standard_normal((nb, cfg.padded_dim)).astype(np.float32)
+    base[:, d:] = 0.0
+    cand_d = np.sum((cvecs - base[:, None, :]) ** 2, axis=-1)
+    order = np.argsort(cand_d, axis=1)
+    cand_d = np.take_along_axis(cand_d, order, axis=1)
+    cvecs = np.take_along_axis(cvecs, order[:, :, None], axis=1)
+    cand_i = rng.permutation(nb * c).reshape(nb, c).astype(np.int32)
+    # a few invalid tail slots
+    cand_d[:, -3:] = np.inf
+    cand_i[:, -3:] = -1
+
+    sel_d, sel_i = heuristic_select(
+        cfg, jnp.asarray(cand_d), jnp.asarray(cand_i),
+        jnp.asarray(cvecs), max_conn,
+    )
+    sel_i = np.asarray(sel_i)
+
+    pair = np.sum(
+        (cvecs[:, :, None, :] - cvecs[:, None, :, :]) ** 2, axis=-1
+    )
+    for b in range(nb):
+        kept: list[int] = []
+        for j in range(c):
+            if not np.isfinite(cand_d[b, j]) or len(kept) >= max_conn:
+                continue
+            if all(cand_d[b, j] < pair[b, i, j] for i in kept):
+                kept.append(j)
+        rejected = [
+            j for j in range(c)
+            if j not in kept and np.isfinite(cand_d[b, j])
+        ]
+        want = (kept + rejected)[:max_conn]
+        want_ids = [int(cand_i[b, j]) for j in want]
+        want_ids += [-1] * (max_conn - len(want_ids))
+        assert sel_i[b].tolist() == want_ids, (b, sel_i[b].tolist(), want_ids)

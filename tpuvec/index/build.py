@@ -102,28 +102,39 @@ def heuristic_select(
     walk candidates in distance order, keep c only if it is closer to the
     new node than to every already-kept neighbor; then fill remaining
     slots with the closest rejected candidates (keep-pruned-connections).
-    Runs as a C-step fori_loop over [nb, C] masks with a precomputed
-    candidate-pairwise distance matrix (MXU einsum).
+    Runs as a next-survivor fori_loop of max_conn steps (not C steps) over
+    [nb, C] masks with a precomputed candidate-pairwise distance matrix
+    (MXU einsum). Equivalence to the canonical per-candidate scan: kept
+    positions strictly increase, every candidate before the next survivor
+    is rejected against a mind[] that only shrinks afterwards (so the
+    rejection is permanent), and the survivor itself passes against
+    exactly the kept set that precedes it. max_conn steps of [nb, C] work
+    replace C steps — measured as the bulk of the connect stage at C=192.
     """
     nb, c = cand_d.shape
     pair = _pairwise_cands(config, cvecs)  # [nb, C, C]
     valid = jnp.isfinite(cand_d)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (nb, c), 1)
 
-    def body(j, carry):
-        mask, cnt, mind = carry
-        keep = jnp.logical_and(
-            jnp.logical_and(valid[:, j], cnt < max_conn),
-            cand_d[:, j] < mind[:, j],
+    def body(_, carry):
+        mask, mind = carry
+        alive = jnp.logical_and(
+            jnp.logical_and(valid, cand_d < mind), jnp.logical_not(mask)
         )
-        mask = mask.at[:, j].set(keep)
-        cnt = cnt + keep.astype(jnp.int32)
-        mind = jnp.where(keep[:, None], jnp.minimum(mind, pair[:, :, j]), mind)
-        return mask, cnt, mind
+        p = jnp.min(jnp.where(alive, iota_c, c), axis=1)  # first alive
+        has = p < c
+        pc = jnp.minimum(p, c - 1)
+        mask = jnp.logical_or(
+            mask, jnp.logical_and(has[:, None], iota_c == pc[:, None])
+        )
+        prow = jnp.take_along_axis(pair, pc[:, None, None], axis=1)[:, 0, :]
+        mind = jnp.where(has[:, None], jnp.minimum(mind, prow), mind)
+        return mask, mind
 
     mask0 = jnp.zeros((nb, c), dtype=jnp.bool_)
     mind0 = jnp.full((nb, c), _INF, dtype=jnp.float32)
-    mask, _, _ = jax.lax.fori_loop(
-        0, c, body, (mask0, jnp.zeros(nb, jnp.int32), mind0)
+    mask, _ = jax.lax.fori_loop(
+        0, min(max_conn, c), body, (mask0, mind0)
     )
 
     # order: kept (by distance) first, then rejected (by distance); invalid
@@ -202,6 +213,14 @@ def _stage_candidates(config: HnswConfig, state: GraphState, new_vecs: jnp.ndarr
         ef=efc,
         max_iters=c.build_max_iters or default_max_iters(efc, 2),
         n_expand=2,  # measured sweet spot: E=1 -> 551 vec/s, E=2 -> 643, E=4 -> 492
+        # the construction beam always runs its full iteration budget (the
+        # early-exit needs ~ef/E expansions to fire, and the budget is
+        # 1.5x that), so per-iteration cost is everything: at this shape
+        # (EF=256, B=1024) the bitonic network beats the O(S^2) rank
+        # merge 2.0 vs 2.5 ms/iter with bit-identical output (measured at
+        # 1M x 768 on v5e, round 4; the rank merge still wins at search
+        # shapes, S ~ 80)
+        merge="bitonic",
     )
     return cand_d, cand_i
 

@@ -174,6 +174,7 @@ def beam_search_level0(
     use_pallas: bool = False,
     node_mask: jnp.ndarray | None = None,
     k_out: int = 10,
+    merge: str = "rank",
 ):
     """Best-first beam search at level 0.
 
@@ -188,6 +189,12 @@ def beam_search_level0(
     ``k_out`` nodes passing the mask from every expanded window (so it
     sees iters x E x M0 candidates, not just beam survivors). Returns
     (res_d [B, KP], res_i [B, KP], iters) instead.
+
+    ``merge`` selects the beam-merge algorithm: "rank" (O(S^2)
+    compare-reduce, no sequential stages — wins at search shapes,
+    S ~ 80) or "bitonic" (O(S log S) network — wins at the wide
+    construction shape, S = 320: the rank merge's 105M compares/iter
+    dominate the per-iteration overhead there).
     """
     b = q.shape[0]
     e = n_expand
@@ -195,6 +202,10 @@ def beam_search_level0(
     w_raw = e * m0
     efp = _next_pow2(ef)
     use_mask = node_mask is not None
+    if merge == "bitonic":
+        from tpuvec.ops.sort import bitonic_topk_merge_sorted as _merge
+    else:
+        _merge = rank_topk_merge_sorted
 
     beam_d = jnp.full((b, efp), _INF, dtype=jnp.float32)
     beam_i = jnp.full((b, efp), -1, dtype=jnp.int32)
@@ -273,7 +284,7 @@ def beam_search_level0(
     def body(carry):
         beam_d, beam_i, beam_x, sel, active, _, it = carry
         beam_x, nd, ni = expand(beam_d, beam_i, beam_x, sel)
-        beam_d, beam_i, beam_x = rank_topk_merge_sorted(
+        beam_d, beam_i, beam_x = _merge(
             beam_d, beam_i, beam_x, nd, ni
         )
         # padding slots (inf) must never be frontier
@@ -293,7 +304,7 @@ def beam_search_level0(
             jnp.where(allow, nd, _INF),
             jnp.where(allow, ni, -1),
         )
-        beam_d, beam_i, beam_x = rank_topk_merge_sorted(
+        beam_d, beam_i, beam_x = _merge(
             beam_d, beam_i, beam_x, nd, ni
         )
         beam_x = jnp.logical_or(beam_x, jnp.logical_not(jnp.isfinite(beam_d)))

@@ -488,6 +488,11 @@ class VecTable:
         self.autosave_every = max(1, int(autosave_every))
         self._flushes_since_save = 0
         self._autosave_thread: threading.Thread | None = None
+        # device-side copies of the live mask / scalar code arrays, keyed
+        # by (_version, cap): repeated filtered queries reuse one upload
+        # instead of transferring a fresh host mask per call (the relay
+        # round trip dominates single-tenant lookups otherwise)
+        self._dev_cache: dict[Any, tuple[tuple[int, int], jnp.ndarray]] = {}
 
     # ------------------------------------------------------------------ #
     # helpers
@@ -990,6 +995,35 @@ class VecTable:
                 d, i = self._exact_coded(vc, qp, k, partition, mask)
                 return self._collect_results(d, i, nq, k)
 
+            if (
+                partition is not None
+                and predicate is None
+                and not filters
+                and not isinstance(vc, _MeshVectorColumn)
+                and not (
+                    vc.spec.quantization is IndexQuantization.BINARY
+                    and vc.spec.vec_type is VectorType.FLOAT32
+                )
+            ):
+                # scalar-partition fast path: selective tenants go through
+                # the in-kernel code compare with version-cached device
+                # arrays — per call only the query batch and a B-int code
+                # vector cross the relay (vs a fresh cap-size mask upload,
+                # which bounded single-tenant lookups at ~15 QPS)
+                if self.partition_col is None:
+                    raise InvalidParameter(
+                        "table has no partition key column"
+                    )
+                sc = self._scalars[self.partition_col]
+                pm = sc.mask_eq(partition)[: self.cap]
+                n_match = int(np.count_nonzero(pm & self._live[: self.cap]))
+                want_exact = exact if exact is not None else not vc.has_hnsw
+                if want_exact or n_match <= 50 * k:
+                    d, i = self._exact_coded(
+                        vc, qp, k, [partition] * nq, None
+                    )
+                    return self._collect_results(d, i, nq, k)
+
             mask = self._filter_mask(partition, predicate, filters)
             use_exact = exact if exact is not None else not vc.has_hnsw
 
@@ -1064,18 +1098,35 @@ class VecTable:
             arr[i] = qv.to_numpy()
         return prepare_vectors(c, jnp.asarray(arr))
 
+    def _dev_cached(self, key, builder) -> jnp.ndarray:
+        """Version-keyed device copy of a host array (one upload per
+        mutation epoch instead of one per query)."""
+        tag = (self._version, self.cap)
+        ent = self._dev_cache.get(key)
+        if ent is None or ent[0] != tag:
+            arr = builder()
+            self._dev_cache[key] = (tag, arr)
+            return arr
+        return ent[1]
+
     def _exact(self, vc, qp, k, mask):
         c = vc.config
-        valid = self._live[: self.cap]
-        if mask is not None:
-            valid = valid & mask
         if isinstance(vc, _MeshVectorColumn):
+            valid = self._live[: self.cap]
+            if mask is not None:
+                valid = valid & mask
             d, i = vc.exact(qp, k, np.asarray(valid))
         else:
+            if mask is None:
+                valid_dev = self._dev_cached(
+                    "live", lambda: jnp.asarray(self._live[: self.cap])
+                )
+            else:
+                valid_dev = jnp.asarray(self._live[: self.cap] & mask)
             d, i = bruteforce_knn_internal(
                 qp,
                 vc.state.vectors,
-                jnp.asarray(valid),
+                valid_dev,
                 metric=c.graph_metric,
                 k=k,
                 normalized=c.normalized,
@@ -1102,17 +1153,23 @@ class VecTable:
                     qcodes[b] = sc._code_of.get(v, -2)  # unseen: none
                 except TypeError:
                     qcodes[b] = -2
-        valid = self._live[: self.cap]
-        if mask is not None:
-            valid = valid & mask
+        if mask is None:
+            valid_dev = self._dev_cached(
+                "live", lambda: jnp.asarray(self._live[: self.cap])
+            )
+        else:
+            valid_dev = jnp.asarray(self._live[: self.cap] & mask)
         d, i = bruteforce_knn_internal(
             qp,
             vc.state.vectors,
-            jnp.asarray(valid),
+            valid_dev,
             metric=c.graph_metric,
             k=k,
             normalized=c.normalized,
-            slot_codes=jnp.asarray(sc.codes[: self.cap].astype(np.int32)),
+            slot_codes=self._dev_cached(
+                ("codes", self.partition_col),
+                lambda: jnp.asarray(sc.codes[: self.cap].astype(np.int32)),
+            ),
             q_codes=jnp.asarray(qcodes),
         )
         out = internal_to_output(c.metric, d, normalized=c.normalized)
