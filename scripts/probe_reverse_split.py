@@ -123,5 +123,51 @@ def main():
           flush=True)
 
 
+
+
+
+def variants():
+    """Same rev_apply, inputs prepared three ways: straight from
+    rev_compute, host-round-tripped, and jit-copied."""
+    rng = np.random.default_rng(5)
+    adj = jnp.asarray(rng.integers(-1, CAP, (CAP, M0), dtype=np.int32))
+    adjd = jnp.asarray(rng.random((CAP, M0), dtype=np.float32))
+
+    def mk():
+        ids = jnp.asarray(rng.integers(0, CAP, NB, dtype=np.int32))
+        fi = jnp.asarray(rng.integers(-1, CAP, (NB, M0), dtype=np.int32))
+        fd = jnp.sort(jnp.asarray(rng.random((NB, M0), dtype=np.float32)))
+        return ids, fi, fd
+
+    data = [mk() for _ in range(9)]
+    outs = [rev_compute(adj, adjd, *d) for d in data]
+    jax.block_until_ready(outs)
+
+    host = [
+        tuple(jnp.asarray(np.asarray(v)) for v in o) for o in outs
+    ]
+    cp = jax.jit(lambda a, b, c: (a + 0, b + 0, c + jnp.float32(0)))
+    copied = [cp(*o) for o in outs]
+    jax.block_until_ready(copied)
+
+    for name, ins in (("device", outs), ("host-trip", host), ("jit-copy", copied)):
+        a2, dd2 = jnp.array(adj), jnp.array(adjd)
+        a2, dd2 = rev_apply(a2, dd2, *ins[8])
+        jax.block_until_ready((a2, dd2))
+        t0 = time.time()
+        for i in range(8):
+            a2, dd2 = rev_apply(a2, dd2, *ins[i])
+        jax.block_until_ready((a2, dd2))
+        print(f"apply[{name:9s}]: {(time.time() - t0) / 8 * 1e3:8.2f} ms",
+              flush=True)
+        del a2, dd2
+
+
+if len(sys.argv) > 1 and sys.argv[1] == "--variants":
+    main_fn = variants
+else:
+    main_fn = main
+
+
 if __name__ == "__main__":
-    main()
+    main_fn()

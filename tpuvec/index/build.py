@@ -329,7 +329,7 @@ def _stage_upper(
     return dataclasses.replace(state, upper_adj=upper_adj, upper_dist=upper_dist)
 
 
-def _reverse_pass(adj, adj_dist, new_ids, fwd_i, fwd_d, ok_new, cap, max_conn, protect):
+def _reverse_compute(adj, adj_dist, new_ids, fwd_i, fwd_d, ok_new, cap, max_conn, protect):
     """Vectorized reverse-edge insertion with protected-prefix pruning.
 
     The first `protect` slots of each row hold the row owner's
@@ -396,6 +396,40 @@ def _reverse_pass(adj, adj_dist, new_ids, fwd_i, fwd_d, ok_new, cap, max_conn, p
     new_rows = jnp.where(jnp.isfinite(new_rowsd), new_rows, -1)
 
     tgt = jnp.where(leader, s_s, cap)  # only leaders write; others dropped
+    return tgt, new_rows, new_rowsd
+
+
+@partial(
+    jax.jit,
+    static_argnames=("protect",),
+    donate_argnames=("adj", "adj_dist"),
+)
+def _apply_rows(adj, adj_dist, tgt, new_rows, new_rowsd, protect: int):
+    """Scatter merged suffix rows into the adjacency — its OWN program.
+
+    When this scatter lives inside a build stage that also reads the
+    (donated) adjacency, XLA lowers the aliased in-place scatter to a
+    SEQUENTIAL while loop over all nb*m0 update rows: measured 258 ms per
+    scatter at [1M, 32] on v5e vs 0.1 ms for the vectorized form — i.e.
+    the scatter alone was ~2/3 of the whole insert batch. In a separate
+    write-only program with an optimization_barrier on the buffers, the
+    scatter compiles to the fast dense form and donation still keeps the
+    update in place (round-4 hunt: scripts/probe_reverse_split.py,
+    probe_scatter.py; barriers on the *updates* or inside the composed
+    read+write program do NOT help).
+    """
+    adj, adj_dist = jax.lax.optimization_barrier((adj, adj_dist))
+    adj = adj.at[tgt, protect:].set(new_rows, mode="drop")
+    adj_dist = adj_dist.at[tgt, protect:].set(new_rowsd, mode="drop")
+    return adj, adj_dist
+
+
+def _reverse_pass(adj, adj_dist, new_ids, fwd_i, fwd_d, ok_new, cap, max_conn, protect):
+    """Compute + apply in one trace (used where the caller is already
+    inside a jit region, e.g. the per-level upper-graph cond)."""
+    tgt, new_rows, new_rowsd = _reverse_compute(
+        adj, adj_dist, new_ids, fwd_i, fwd_d, ok_new, cap, max_conn, protect
+    )
     adj = adj.at[tgt, protect:].set(new_rows, mode="drop")
     adj_dist = adj_dist.at[tgt, protect:].set(new_rowsd, mode="drop")
     return adj, adj_dist
@@ -408,9 +442,12 @@ def _stage_connect(
     new_ids: jnp.ndarray,
     cand_d: jnp.ndarray,
     cand_i: jnp.ndarray,
-) -> GraphState:
+) -> tuple[GraphState, tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Stage 4: level-0 forward selection (diversity heuristic), reverse
-    prune with protected prefix, entry point + count update."""
+    prune with protected prefix, entry point + count update.
+
+    Returns the updated state plus the reverse-edge row updates
+    (tgt, rows, rowsd) for the caller to scatter via _apply_rows."""
     c = config
     ok_new = new_ids >= 0
     tgt = jnp.where(ok_new, new_ids, c.cap)
@@ -439,8 +476,11 @@ def _stage_connect(
     adj0 = state.adj0.at[tgt].set(fwd_i, mode="drop")
     adj0_dist = state.adj0_dist.at[tgt].set(fwd_d, mode="drop")
 
-    # reverse level-0 edges, protected-prefix pruned (single vectorized pass)
-    adj0, adj0_dist = _reverse_pass(
+    # reverse level-0 edges, protected-prefix pruned: COMPUTE only — the
+    # row scatter runs in its own program (_apply_rows) because an
+    # aliased scatter inside this donated stage serializes (see
+    # _apply_rows docstring)
+    rev = _reverse_compute(
         adj0,
         adj0_dist,
         new_ids,
@@ -468,7 +508,7 @@ def _stage_connect(
         entry_point=entry_point,
         entry_level=entry_level,
         count=count,
-    )
+    ), rev
 
 
 def insert_batch(
@@ -500,7 +540,21 @@ def insert_batch(
         if timing.enabled():
             state.count.block_until_ready()
     with timing.timer("insert.connect"):
-        state = _stage_connect(config, state, new_ids, cand_d, cand_i)
+        state, rev = _stage_connect(config, state, new_ids, cand_d, cand_i)
+        if timing.enabled():
+            state.count.block_until_ready()
+    with timing.timer("insert.rev_apply"):
+        # the level-0 reverse scatter runs as its own write-only program:
+        # inside the donated connect stage XLA serializes the aliased
+        # scatter into a per-row loop (258 ms vs 0.1 ms measured at
+        # [1M, 32] on v5e — see _apply_rows)
+        adj0, adj0_dist = _apply_rows(
+            state.adj0,
+            state.adj0_dist,
+            *rev,
+            protect=min(config.m, config.max_m0 // 2),
+        )
+        state = dataclasses.replace(state, adj0=adj0, adj0_dist=adj0_dist)
         if timing.enabled():
             state.count.block_until_ready()
     return state
