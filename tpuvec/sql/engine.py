@@ -101,6 +101,12 @@ _EQ_RE = re.compile(r"(?P<col>[\w\"]+)\s*=\s*(?P<val>\?|'[^']*'|-?\d+(?:\.\d+)?)
 _REBUILD_RE = re.compile(
     r"^\s*SELECT\s+vec_rebuild_hnsw\s*\((?P<args>.*)\)\s*;?\s*$", re.IGNORECASE
 )
+_TXN_RE = re.compile(
+    r"^\s*(?P<verb>BEGIN|COMMIT|END|ROLLBACK)"
+    r"(?:\s+(?:DEFERRED|IMMEDIATE|EXCLUSIVE))?"
+    r"(?:\s+TRANSACTION)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 # -- composability-fallback grammar (mirror path) ----------------------- #
 _FB_MATCH_RE = re.compile(
@@ -164,11 +170,22 @@ class Database:
         shards; queries fan out with an all-gather top-k merge). The
         multi-tenant scale-out the reference only parses partition keys
         for (src/vtab.rs:854-859)."""
-        self.sqlite = sqlite3.connect(path)
+        # autocommit (rusqlite's default): explicit BEGIN/COMMIT/ROLLBACK
+        # are owned by this engine, not the stdlib module's implicit-txn
+        # machinery
+        self.sqlite = sqlite3.connect(path, isolation_level=None)
         F.register_all(self.sqlite)
         self.tables: dict[str, VecTable] = {}
         self.mesh = mesh
         self._autoflush = True  # executemany defers flush to batch end
+        # open-transaction undo log (None = autocommit). Each entry is an
+        # inverse op applied in reverse order on ROLLBACK — the engine's
+        # analogue of the reference riding SQLite's journal for its
+        # shadow tables (src/shadow.rs:192-257): vec0 writes inside
+        # BEGIN..COMMIT are atomic w.r.t. ROLLBACK, and flushes defer to
+        # COMMIT so a bulk txn batches like the reference's C benchmark
+        # (tests/test_transaction_batching.rs:28-55).
+        self._txn: list[tuple] | None = None
         # composability-fallback mirror cache: table name -> (version,
         # with_distance) of the temp-schema copy living in self.sqlite
         self._mirrors: dict[str, tuple | None] = {}
@@ -197,6 +214,15 @@ class Database:
     def execute(self, sql: str, params: Sequence[Any] = ()) -> Cursor:
         params = list(params)
 
+        m = _TXN_RE.match(sql)
+        if m:
+            verb = m.group("verb").upper()
+            if verb == "BEGIN":
+                return self._begin()
+            if verb == "ROLLBACK":
+                return self._rollback()
+            return self._commit()  # COMMIT | END
+
         created = parse_create_vtab(sql)
         if created is not None:
             name, columns, index_type, options = created
@@ -211,6 +237,7 @@ class Database:
                 initial_cap=options.get("capacity", 1024),
                 mesh=self.mesh,
             )
+            self._record("create", name)
             return Cursor([], [])
 
         m = _REBUILD_RE.match(sql)
@@ -220,6 +247,7 @@ class Database:
         m = _DROP_RE.match(sql)
         if m and m.group("name").strip('"') in self.tables:
             name = m.group("name").strip('"')
+            self._record("drop", name, self.tables[name])
             del self.tables[name]
             self._mirrors.pop(name, None)
             self.sqlite.execute(f'DROP TABLE IF EXISTS temp."{name}"')
@@ -292,6 +320,74 @@ class Database:
             for t in self.tables.values():
                 t.flush()
         return last
+
+    # ------------------------------------------------------------------ #
+    # transactions (reference: SQLite's journal covers the vtab's shadow
+    # tables for free — src/shadow.rs:192-257, tests/test_transaction_
+    # batching.rs. Here: an undo log over VecTable mutations + a real
+    # BEGIN on the mirror connection for plain-SQL side tables.)
+    # ------------------------------------------------------------------ #
+
+    def _begin(self) -> Cursor:
+        if self._txn is not None:
+            raise InvalidState(
+                "cannot start a transaction within a transaction"
+            )
+        self._txn = []
+        self.sqlite.execute("BEGIN")
+        return Cursor([], [])
+
+    def _commit(self) -> Cursor:
+        if self._txn is None:
+            raise InvalidState("cannot commit - no transaction is active")
+        self._txn = None
+        for t in self.tables.values():
+            t.flush()
+        self.sqlite.execute("COMMIT")
+        return Cursor([], [])
+
+    def _rollback(self) -> Cursor:
+        if self._txn is None:
+            raise InvalidState("cannot rollback - no transaction is active")
+        log, self._txn = self._txn, None  # undo ops must not re-record
+        for entry in reversed(log):
+            kind = entry[0]
+            if kind == "insert":
+                _, table, rid = entry
+                table.delete(rid)
+            elif kind == "delete":
+                _, table, rid, row = entry
+                table.insert(row, rowid=rid)
+            elif kind == "update":
+                _, table, rid, row = entry
+                table.update(rid, row)
+            elif kind == "create":
+                _, name = entry
+                self.tables.pop(name, None)
+                self._mirrors.pop(name, None)
+                self.sqlite.execute(f'DROP TABLE IF EXISTS temp."{name}"')
+            elif kind == "drop":
+                _, name, table = entry
+                self.tables[name] = table
+        for t in self.tables.values():
+            t.flush()
+        # temp-schema mirrors roll back with the connection; drop the
+        # cache keys so the next composed query re-materializes
+        self._mirrors.clear()
+        self.sqlite.execute("ROLLBACK")
+        return Cursor([], [])
+
+    def _record(self, *entry) -> None:
+        """Append one inverse-op entry to the open transaction, if any."""
+        if self._txn is not None:
+            self._txn.append(entry)
+
+    def _snap_rows(self, table: VecTable, rids, kind: str) -> None:
+        """Record before-images so ROLLBACK can restore deleted/updated
+        rows (originals live host-side, so this is cheap array reads)."""
+        if self._txn is not None:
+            for rid in rids:
+                self._txn.append((kind, table, int(rid), table.row(rid)))
 
     # -------------------------------------------------------------- #
 
@@ -383,8 +479,9 @@ class Database:
                     rowid = int(v)
                 else:
                     values[c] = v
-            table.insert(values, rowid=rowid)
-        if self._autoflush:
+            rid = table.insert(values, rowid=rowid)
+            self._record("insert", table, rid)
+        if self._autoflush and self._txn is None:
             table.flush()
         return Cursor([], [])
 
@@ -392,12 +489,14 @@ class Database:
         table = self.table(m.group("name").strip('"'))
         if m.group("rid") is not None:
             rid = int(self._take_param(m.group("rid"), params))
+            self._snap_rows(table, [rid], "delete")
             table.delete(rid)
         else:
             rids = [
                 int(self._take_param(t.strip(), params))
                 for t in m.group("rids").split(",")
             ]
+            self._snap_rows(table, rids, "delete")
             table.delete_many(rids)
         return Cursor([], [])
 
@@ -408,6 +507,7 @@ class Database:
             k, v = part.split("=", 1)
             sets[k.strip().strip('"')] = self._eval_expr(v.strip(), params)
         rid = int(self._take_param(m.group("rid"), params))
+        self._snap_rows(table, [rid], "update")
         table.update(rid, sets)
         return Cursor([], [])
 
@@ -839,6 +939,7 @@ class Database:
                 )
             ]
         if rids:
+            self._snap_rows(table, rids, "delete")
             table.delete_many(rids)
             self._mirrors.pop(table.name, None)
         return Cursor([], [])
@@ -872,6 +973,7 @@ class Database:
                 )
             ]
         if rids:
+            self._snap_rows(table, rids, "update")
             table.update_many(rids, [dict(sets)] * len(rids))
             self._mirrors.pop(table.name, None)
         return Cursor([], [])
