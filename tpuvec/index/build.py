@@ -197,6 +197,23 @@ def _batch_levels(config: HnswConfig, state: GraphState, new_ids: jnp.ndarray):
     return jnp.where(ok_new, state.levels[jnp.maximum(new_ids, 0)], -1)
 
 
+def _build_iter_budget(cap: int, efc: int, n_expand: int) -> int:
+    """Construction-beam iteration budget.
+
+    The generic default (1.5*ef/E + 8 = 158 at efc=200) over-runs what
+    the graph needs: at 1M x 768 the candidate id-sets at 96 and 158
+    iterations agree 1.0000 (measured on real tail-of-build batches,
+    round 4) while iterations are ~2 ms each at [B=1024, EF=256] — the
+    largest single line in the insert budget. Navigation work scales
+    with graph DEPTH, so the budget scales with ln(cap):
+    ceil(7*ln(cap)) + 8 = 57 at 1K, 89 at 100K, 105 at 1M, 121 at 10M.
+    (Round-3 lesson baked in: a flat 64-iteration cap tuned at 100K
+    starved 1M graph quality — iteration caps must grow with ln N.)
+    """
+    depth_budget = int(np.ceil(7.0 * np.log(max(cap, 2)))) + 8
+    return min(default_max_iters(efc, n_expand), depth_budget)
+
+
 @partial(jax.jit, static_argnames=("config",))
 def _stage_candidates(config: HnswConfig, state: GraphState, new_vecs: jnp.ndarray):
     """Stage 2: level-0 candidate beam over the pre-batch graph
@@ -211,7 +228,7 @@ def _stage_candidates(config: HnswConfig, state: GraphState, new_vecs: jnp.ndarr
         seed_ids,
         seed_d,
         ef=efc,
-        max_iters=c.build_max_iters or default_max_iters(efc, 2),
+        max_iters=c.build_max_iters or _build_iter_budget(c.cap, efc, 2),
         n_expand=2,  # measured sweet spot: E=1 -> 551 vec/s, E=2 -> 643, E=4 -> 492
         # the construction beam always runs its full iteration budget (the
         # early-exit needs ~ef/E expansions to fire, and the budget is
@@ -560,6 +577,15 @@ def insert_batch(
     return state
 
 
+@partial(jax.jit, static_argnames=("take", "shape"))
+def _slice_pad(vectors: jnp.ndarray, pos, *, take: int, shape: int) -> jnp.ndarray:
+    """One program for the per-batch device slice + zero-pad (the eager
+    two-op form was two extra relay dispatches per batch)."""
+    blk = jax.lax.dynamic_slice_in_dim(vectors, pos, take, axis=0)
+    bv = jnp.zeros((shape, vectors.shape[1]), vectors.dtype)
+    return jax.lax.dynamic_update_slice_in_dim(bv, blk, 0, axis=0)
+
+
 def plan_batch_sizes(total: int, max_batch: int = 1024, start: int = 1) -> list[int]:
     """Doubling schedule of *live* batch sizes: 1, 1, 2, 4, ... so every
     batch is no larger than the graph it is inserted into (bounds
@@ -614,11 +640,12 @@ def build_graph(
         batch_ids[:take] = ids[pos : pos + take]
         if on_device:
             # slice + pad on device: no per-batch host->device transfer
-            blk = jax.lax.dynamic_slice_in_dim(
-                vectors_prepared, pos, min(take, n - pos), axis=0
+            bv = _slice_pad(
+                vectors_prepared,
+                np.int32(pos),
+                take=min(take, n - pos),
+                shape=shape,
             )
-            bv = jnp.zeros((shape, vectors_prepared.shape[1]), vectors_prepared.dtype)
-            bv = jax.lax.dynamic_update_slice_in_dim(bv, blk, 0, axis=0)
         else:
             bvh = np.zeros((shape, vectors_prepared.shape[1]), vectors_prepared.dtype)
             bvh[:take] = vectors_prepared[pos : pos + take]
