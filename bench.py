@@ -54,6 +54,7 @@ SEGMENT = int(os.environ.get("TPUVEC_BENCH_SEGMENT", 131_072))
 BUDGET = float(os.environ.get("TPUVEC_BENCH_BUDGET", 900))
 RATE = float(os.environ.get("TPUVEC_BENCH_RATE", 900))  # e2e build vec/s
 COLD_START = 300.0         # first-segment compile overhead estimate
+ATTEMPT_CAP = float(os.environ.get("TPUVEC_BENCH_ATTEMPT", 1500))
 SWEEP_RESERVE = 420.0      # ground truth + ef sweep, warm caches
 CKPT = f"/tmp/tpuvec_bench_{N}x{D}.npz"
 SIDECAR = CKPT + ".json"
@@ -239,7 +240,7 @@ def run_build(stop_at: float, force: bool = False) -> float | None:
         with open(SIDECAR) as f:
             return float(json.load(f)["secs"])
     last_pos = -1
-    for attempt in range(5):
+    for attempt in range(12):
         left = stop_at - time.time()
         pos0 = _ckpt_pos()
         # don't launch an attempt that can't finish: resuming later is
@@ -254,14 +255,21 @@ def run_build(stop_at: float, force: bool = False) -> float | None:
             return None
         if force and left < 60:
             return None
+        # a wedged relay session can hang a worker INDEFINITELY before its
+        # first segment (observed round 4: ~50% of processes stall at a
+        # random early point with ~0 CPU, while retries succeed) — so no
+        # attempt may own the whole remaining budget. Cap each attempt so
+        # a stall costs one retry, not the round: enough for cold start +
+        # a few segments, env-overridable for slow relays.
+        att_t = min(max(left, 60), ATTEMPT_CAP)
         try:
             rc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--build-worker"],
-                timeout=max(left, 60),
+                timeout=att_t,
             ).returncode
         except subprocess.TimeoutExpired:
             rc = -1
-            log(f"build attempt {attempt} hit the budget deadline")
+            log(f"build attempt {attempt} hit its {att_t:.0f}s stall cap")
         pos = _ckpt_pos()
         if pos >= N:
             with open(SIDECAR) as f:
