@@ -85,6 +85,7 @@ def main():
 
     variants = [
         ("committed", _committed_apply),
+        ("dense", B._apply_rows_dense),
         ("nodonate", _apply_nodonate),
         ("unique", _apply_unique),
         ("committed2", _committed_apply),

@@ -402,6 +402,53 @@ def test_upper_capacity_overflow_demotes_to_level0():
     assert self_hit >= 0.7
 
 
+def test_apply_rows_dense_matches_scatter(data64, monkeypatch):
+    """The scatter-free reverse-apply (searchsorted + dense select) must
+    be row-for-row identical to the scatter form on real _reverse_compute
+    output, and an end-to-end build through the env dispatch must produce
+    the same graph."""
+    from tpuvec.index import build as B
+
+    x, xp, state = data64
+    # real reverse-pass inputs: forward edges of a fresh mini-batch
+    rng = np.random.default_rng(7)
+    nb, m0 = 32, CFG64.max_m0
+    fwd_i = rng.integers(0, N64, size=(nb, m0)).astype(np.int32)
+    fwd_i[rng.random((nb, m0)) < 0.2] = -1  # padding holes
+    fwd_d = np.abs(rng.standard_normal((nb, m0))).astype(np.float32)
+    fwd_d[fwd_i < 0] = np.inf
+    new_ids = np.arange(N64, N64 + nb, dtype=np.int32)
+    ok_new = np.ones(nb, dtype=bool)
+    ok_new[-3:] = False  # padded tail rows
+    protect = min(CFG64.m, CFG64.max_m0 // 2)
+    rev = B._reverse_compute(
+        state.adj0, state.adj0_dist, jnp.asarray(new_ids),
+        jnp.asarray(fwd_i), jnp.asarray(fwd_d), jnp.asarray(ok_new),
+        CFG64.cap, CFG64.max_m0, protect,
+    )
+    a_s, d_s = B._apply_rows(
+        state.adj0.copy(), state.adj0_dist.copy(), *rev, protect=protect
+    )
+    a_d, d_d = B._apply_rows_dense(
+        state.adj0.copy(), state.adj0_dist.copy(), *rev, protect=protect
+    )
+    np.testing.assert_array_equal(np.asarray(a_s), np.asarray(a_d))
+    np.testing.assert_array_equal(np.asarray(d_s), np.asarray(d_d))
+
+    # env dispatch: full builds agree bit-for-bit
+    monkeypatch.delenv("TPUVEC_REV_APPLY", raising=False)
+    g_scatter = build_graph(CFG64, xp[:200], max_batch=64)
+    monkeypatch.setenv("TPUVEC_REV_APPLY", "dense")
+    assert B._apply_rows_impl() is B._apply_rows_dense
+    g_dense = build_graph(CFG64, xp[:200], max_batch=64)
+    np.testing.assert_array_equal(
+        np.asarray(g_scatter.adj0), np.asarray(g_dense.adj0)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g_scatter.adj0_dist), np.asarray(g_dense.adj0_dist)
+    )
+
+
 def test_heuristic_select_matches_canonical_scan():
     # heuristic_select runs a next-survivor loop of max_conn steps; it must
     # produce exactly the canonical per-candidate scan's kept set (walk

@@ -441,6 +441,56 @@ def _apply_rows(adj, adj_dist, tgt, new_rows, new_rowsd, protect: int):
     return adj, adj_dist
 
 
+@partial(
+    jax.jit,
+    static_argnames=("protect",),
+    donate_argnames=("adj", "adj_dist"),
+)
+def _apply_rows_dense(adj, adj_dist, tgt, new_rows, new_rowsd, protect: int):
+    """Scatter-FREE variant of _apply_rows (select TPUVEC_REV_APPLY=dense).
+
+    Exploits an invariant of _reverse_compute: valid targets (tgt < cap)
+    sit at group-leader positions of an s-sorted array, so across the
+    update list the valid targets are STRICTLY INCREASING. A running
+    cummax (invalid slots carry the previous leader's value) is then
+    monotone, and a vectorized binary search maps every graph row to the
+    unique update row that targets it — first position where the cummax
+    reaches r is exactly r's leader. The row update becomes
+    gather + elementwise select + one static-slice store: no scatter HLO
+    exists in the program, so there is nothing for XLA to serialize
+    (the aliased row scatter lowers to a sequential per-row while loop,
+    see _apply_rows). Cost is one full dense rewrite of the suffix
+    columns (~0.5 GB of HBM traffic at [1M, 32] ≈ 1 ms) instead of a
+    sparse touch of <=nb*m0 rows — a good trade iff the scatter really
+    serializes end-to-end (A/B: scripts/profile_apply_ab.py)."""
+    cap = adj.shape[0]
+    p_n = tgt.shape[0]
+    valid = tgt < cap
+    mono = jax.lax.cummax(jnp.where(valid, tgt, -1))
+    rows = jnp.arange(cap, dtype=tgt.dtype)
+    pos = jnp.clip(
+        jnp.searchsorted(mono, rows, side="left"), 0, p_n - 1
+    ).astype(jnp.int32)
+    hit = mono[pos] == rows  # cummax first reaches r at r's leader slot
+    sfx_i = jnp.where(hit[:, None], new_rows[pos], adj[:, protect:])
+    sfx_d = jnp.where(hit[:, None], new_rowsd[pos], adj_dist[:, protect:])
+    adj = adj.at[:, protect:].set(sfx_i)
+    adj_dist = adj_dist.at[:, protect:].set(sfx_d)
+    return adj, adj_dist
+
+
+def _apply_rows_impl():
+    """Active level-0 reverse-apply program (env-selectable for A/B).
+
+    Resolved at call time so scripts/profile_apply_ab.py can monkeypatch
+    the module attribute."""
+    import os
+
+    if os.environ.get("TPUVEC_REV_APPLY") == "dense":
+        return _apply_rows_dense
+    return _apply_rows
+
+
 def _reverse_pass(adj, adj_dist, new_ids, fwd_i, fwd_d, ok_new, cap, max_conn, protect):
     """Compute + apply in one trace (used where the caller is already
     inside a jit region, e.g. the per-level upper-graph cond)."""
@@ -565,7 +615,7 @@ def insert_batch(
         # inside the donated connect stage XLA serializes the aliased
         # scatter into a per-row loop (258 ms vs 0.1 ms measured at
         # [1M, 32] on v5e — see _apply_rows)
-        adj0, adj0_dist = _apply_rows(
+        adj0, adj0_dist = _apply_rows_impl()(
             state.adj0,
             state.adj0_dist,
             *rev,
