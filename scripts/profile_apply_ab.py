@@ -7,8 +7,10 @@ script measures the only number that can't lie: end-to-end marginal
 insert rate over a few batches, per _apply_rows variant, in ONE
 process (insert_batch picks up the monkeypatched symbol at call time).
 
-Variants: committed (donated+barrier) / nodonate (XLA copies the
-adjacency, scatter stays dense) / unique (donated, unique_indices).
+Variants: committed (donated+barrier) / dense (scatter-free
+searchsorted rewrite, TPUVEC_REV_APPLY=dense's program) / nodonate
+(XLA copies the adjacency, scatter stays dense) / unique (donated,
+unique_indices).
 
 Usage: python scripts/profile_apply_ab.py [n_batches_per_variant]
 """
@@ -20,6 +22,12 @@ import time
 from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# _apply_rows_impl() consults TPUVEC_REV_APPLY before the monkeypatched
+# B._apply_rows: an exported =dense would silently run the dense program
+# for EVERY variant and the A/B would measure nothing. Force the
+# env-dispatch to the monkeypatch path.
+os.environ.pop("TPUVEC_REV_APPLY", None)
 
 import numpy as np
 import jax
