@@ -24,10 +24,11 @@ from functools import partial
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # _apply_rows_impl() consults TPUVEC_REV_APPLY before the monkeypatched
-# B._apply_rows: an exported =dense would silently run the dense program
-# for EVERY variant and the A/B would measure nothing. Force the
-# env-dispatch to the monkeypatch path.
-os.environ.pop("TPUVEC_REV_APPLY", None)
+# B._apply_rows: with dense the default since round 5, only =scatter
+# routes through the B._apply_rows attribute this script swaps per
+# variant. Anything else would silently run the dense program for EVERY
+# variant and the A/B would measure nothing.
+os.environ["TPUVEC_REV_APPLY"] = "scatter"
 
 import numpy as np
 import jax

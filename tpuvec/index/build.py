@@ -447,7 +447,14 @@ def _apply_rows(adj, adj_dist, tgt, new_rows, new_rowsd, protect: int):
     donate_argnames=("adj", "adj_dist"),
 )
 def _apply_rows_dense(adj, adj_dist, tgt, new_rows, new_rowsd, protect: int):
-    """Scatter-FREE variant of _apply_rows (select TPUVEC_REV_APPLY=dense).
+    """Scatter-FREE level-0 reverse apply — the DEFAULT since round 5.
+
+    A/B at 1M x 768 (scripts/profile_apply_ab.py, end-to-end marginal
+    insert rate, same relay session, bracketing controls): dense
+    2318 vec/s vs committed scatter 1823/1797, nodonate 1882, unique
+    1805 — +28% end to end, consistent with the ~130 ms/batch the
+    serialized scatter was costing. Select TPUVEC_REV_APPLY=scatter for
+    the old program.
 
     Exploits an invariant of _reverse_compute: valid targets (tgt < cap)
     sit at group-leader positions of an s-sorted array, so across the
@@ -482,13 +489,15 @@ def _apply_rows_dense(adj, adj_dist, tgt, new_rows, new_rowsd, protect: int):
 def _apply_rows_impl():
     """Active level-0 reverse-apply program (env-selectable for A/B).
 
-    Resolved at call time so scripts/profile_apply_ab.py can monkeypatch
-    the module attribute."""
+    Default is the scatter-free dense form (wins the round-5 A/B by
+    +28% end-to-end, see _apply_rows_dense). TPUVEC_REV_APPLY=scatter
+    selects the donated-scatter program. Resolved at call time so
+    scripts/profile_apply_ab.py can monkeypatch the module attribute."""
     import os
 
-    if os.environ.get("TPUVEC_REV_APPLY") == "dense":
-        return _apply_rows_dense
-    return _apply_rows
+    if os.environ.get("TPUVEC_REV_APPLY") == "scatter":
+        return _apply_rows
+    return _apply_rows_dense
 
 
 def _reverse_pass(adj, adj_dist, new_ids, fwd_i, fwd_d, ok_new, cap, max_conn, protect):
