@@ -435,11 +435,20 @@ def test_apply_rows_dense_matches_scatter(data64, monkeypatch):
     np.testing.assert_array_equal(np.asarray(a_s), np.asarray(a_d))
     np.testing.assert_array_equal(np.asarray(d_s), np.asarray(d_d))
 
-    # env dispatch: full builds agree bit-for-bit
+    # dispatch: dense is the default under the byte threshold, scatter
+    # above it (the dense program's [cap, m0] temps OOM huge caps), and
+    # TPUVEC_REV_APPLY forces either unconditionally
     monkeypatch.delenv("TPUVEC_REV_APPLY", raising=False)
+    assert B._apply_rows_impl() is B._apply_rows_dense
+    assert B._apply_rows_impl(1 << 33) is B._apply_rows
+    monkeypatch.setenv("TPUVEC_REV_APPLY", "dense")
+    assert B._apply_rows_impl(1 << 33) is B._apply_rows_dense
+
+    # env dispatch: full builds agree bit-for-bit
+    monkeypatch.setenv("TPUVEC_REV_APPLY", "scatter")
+    assert B._apply_rows_impl() is B._apply_rows
     g_scatter = build_graph(CFG64, xp[:200], max_batch=64)
     monkeypatch.setenv("TPUVEC_REV_APPLY", "dense")
-    assert B._apply_rows_impl() is B._apply_rows_dense
     g_dense = build_graph(CFG64, xp[:200], max_batch=64)
     np.testing.assert_array_equal(
         np.asarray(g_scatter.adj0), np.asarray(g_dense.adj0)

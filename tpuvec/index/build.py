@@ -486,16 +486,30 @@ def _apply_rows_dense(adj, adj_dist, tgt, new_rows, new_rowsd, protect: int):
     return adj, adj_dist
 
 
-def _apply_rows_impl():
+def _apply_rows_impl(adj_nbytes: int = 0):
     """Active level-0 reverse-apply program (env-selectable for A/B).
 
     Default is the scatter-free dense form (wins the round-5 A/B by
-    +28% end-to-end, see _apply_rows_dense). TPUVEC_REV_APPLY=scatter
-    selects the donated-scatter program. Resolved at call time so
+    +28% end-to-end at 1M x 768, see _apply_rows_dense) — but ONLY while
+    its [cap, m0] suffix temporaries fit: the dense program peaks ~2x
+    the adjacency bytes above the scatter one, which OOM'd the 10M
+    binary build on 16 GB HBM (round 5). Above the byte threshold
+    (adjacency + distance copies, default 1 GB ~= cap 4M at m0=32,
+    override TPUVEC_REV_APPLY_DENSE_MAX_BYTES) the donated-scatter
+    program is used instead. TPUVEC_REV_APPLY=scatter|dense forces one
+    unconditionally. Resolved at call time so
     scripts/profile_apply_ab.py can monkeypatch the module attribute."""
     import os
 
-    if os.environ.get("TPUVEC_REV_APPLY") == "scatter":
+    forced = os.environ.get("TPUVEC_REV_APPLY")
+    if forced == "scatter":
+        return _apply_rows
+    if forced == "dense":
+        return _apply_rows_dense
+    cap_bytes = int(
+        os.environ.get("TPUVEC_REV_APPLY_DENSE_MAX_BYTES", 1 << 30)
+    )
+    if adj_nbytes * 2 > cap_bytes:
         return _apply_rows
     return _apply_rows_dense
 
@@ -624,7 +638,7 @@ def insert_batch(
         # inside the donated connect stage XLA serializes the aliased
         # scatter into a per-row loop (258 ms vs 0.1 ms measured at
         # [1M, 32] on v5e — see _apply_rows)
-        adj0, adj0_dist = _apply_rows_impl()(
+        adj0, adj0_dist = _apply_rows_impl(state.adj0.nbytes)(
             state.adj0,
             state.adj0_dist,
             *rev,
