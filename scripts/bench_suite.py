@@ -427,22 +427,34 @@ def main():
     jax = _setup()
     which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
     configs = {1: config_1, 2: config_2, 3: config_3, 4: config_4, 5: config_5}
-    results = []
+    # subset runs merge into the previous full table (JSON sidecar keyed
+    # by config index) instead of clobbering the other configs' rows
+    merged: dict[str, dict] = {}
+    if os.path.exists(RESULTS_MD + ".json"):
+        try:
+            with open(RESULTS_MD + ".json") as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
     for i in which:
         log(f"=== {configs[i].__doc__.splitlines()[0]} ===")
         t0 = time.time()
         try:
             res = configs[i](jax)
             res["wall"] = time.time() - t0
-            results.append(res)
             for name, r, qps in res["rows"]:
                 log(f"  {name}: recall@10={r:.4f} {qps:.0f} QPS")
         except Exception as e:
             log(f"config {i} FAILED: {e!r}")
-            results.append(
-                {"name": f"config {i}", "build_rate": 0, "rows": [],
-                 "error": repr(e), "wall": time.time() - t0}
-            )
+            res = {
+                "name": f"config {i}", "build_rate": 0, "rows": [],
+                "error": repr(e), "wall": time.time() - t0,
+            }
+        merged[str(i)] = res
+    results = [merged[k] for k in sorted(merged, key=int)]
+    with open(RESULTS_MD + ".json.tmp", "w") as f:
+        json.dump(merged, f, indent=1)
+    os.replace(RESULTS_MD + ".json.tmp", RESULTS_MD + ".json")
     lines = [
         "# BENCH_CONFIGS — full BASELINE config table",
         "",
